@@ -1,0 +1,86 @@
+"""Quadtree tile assignment — the engine's flagship operator.
+
+Distributed form of the reference's encode pipeline
+(``cmd/codec/main.go:40-87`` → ``Partition``,
+``pkg/quadtreeImage/quadtreeImage.go:55-74``). Design (SURVEY.md §2.12):
+
+* **One pass, zero shuffles.** Each image's recursion runs entirely inside a
+  ``mapInPandas`` batch (per-image numpy, level-vectorized —
+  ``kernels.quadtree``). Images are embarrassingly parallel, so tile
+  assignment scales linearly with executors; there is NO driver-side level
+  loop and no per-level shuffle barrier.
+* **Column pruning.** Only ``image_id, bytes, w, h`` enter the UDF; captions
+  and other metadata never cross the Arrow boundary (at 100 TB the caption
+  bytes alone would be terabytes of wasted transfer).
+* **JVM-side derived keys.** ``block_hash`` (xxhash64) and the Morton range
+  key are computed with built-in functions *after* the UDF, inside
+  whole-stage codegen — not in Python.
+* **Skew.** Image payload sizes vary ~500×; optional round-robin
+  ``repartition(n)`` evens byte-per-task load before the UDF (cheap relative
+  to pixel work; at cluster scale use input-split tuning instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+
+BLOCKS_SCHEMA = ("image_id string, tile_id string, level int, "
+                 "x0 int, y0 int, x1 int, y1 int, "
+                 "is_leaf boolean, oob boolean, similarity double, block_px binary")
+
+
+def assign_tiles(images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
+                 repartition: int | None = None) -> DataFrame:
+    """images(image_id, bytes, w, h, fmt, ...) → blocks DataFrame.
+
+    Output columns: BLOCKS_SCHEMA + ``block_hash`` (xxhash64 of the 8×8
+    block, JVM-side) + ``morton`` (base-4 tile path as an int range key).
+    Every node of every tree is a row (interior nodes included, matching the
+    reference's eager evaluation, ``quadtreeElement.go:73-74``).
+    """
+    src = images.select("image_id", "bytes", "w", "h")
+    if repartition:
+        src = src.repartition(repartition)
+
+    def tile_batches(batches):
+        import pandas as pd
+        from ..kernels.codecs import decode_image
+        from ..kernels.quadtree import assign_tiles_image
+
+        for pdf in batches:
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                img = decode_image(bytes(data))
+                cols = assign_tiles_image(img, cfg)
+                n = len(cols["tile_id"])
+                out = pd.DataFrame(cols)
+                out.insert(0, "image_id", [image_id] * n)
+                yield out
+
+    blocks = src.mapInPandas(tile_batches, BLOCKS_SCHEMA)
+    return (blocks
+            .withColumn("block_hash", F.xxhash64("block_px"))
+            .withColumn("morton", F.when(F.col("tile_id") == "", F.lit(0))
+                        .otherwise(F.conv("tile_id", 4, 10).cast("long"))))
+
+
+def leaf_blocks(blocks: DataFrame, skip_oob: bool = False) -> DataFrame:
+    """The encode-side filter (``quadtreeElement.go:245``): leaves, minus
+    out-of-bounds blocks when SkipOutOfBoundsBlocks is enabled."""
+    out = blocks.filter(F.col("is_leaf"))
+    if skip_oob:
+        out = out.filter(~F.col("oob"))
+    return out
+
+
+def write_blocks(blocks: DataFrame, path: str, partitions: int = 32) -> None:
+    """Persist the blocks table — the engine's 'archive' (SURVEY.md §2.1 S3).
+
+    Layout for 10^12-block scale: hash-distributed by image_id (images are
+    the unit of downstream reassembly → co-located), Morton-sorted within
+    files so tile-range scans prune row groups via parquet min/max stats.
+    """
+    (blocks.repartition(partitions, "image_id")
+     .sortWithinPartitions("image_id", "morton")
+     .write.mode("overwrite").parquet(path))

@@ -1,0 +1,41 @@
+"""SparkSession construction with engine defaults.
+
+Replaces the reference's parallelism booleans (``pkg/config/config.go:33-41``)
+with real Spark knobs. Defaults are tuned for the scale story:
+
+* AQE on (runtime coalescing + skew-join splitting),
+* Arrow on, with a small ``maxRecordsPerBatch`` — rows carry multi-KB binary
+  image payloads, so the default 10k-row batches would balloon executor
+  memory at 100 TB,
+* shuffle partitions sized to cores locally; on a real cluster this is
+  overridden by ``spark.sql.adaptive.coalescePartitions`` + a larger initial
+  count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "quadtree-engine", cores: int | None = None,
+                  shuffle_partitions: int | None = None, extra: dict | None = None) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (SparkSession.builder.appName(app)
+         .master(f"local[{cores}]")
+         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+         .config("spark.default.parallelism", str(cores))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+         .config("spark.sql.parquet.compression.codec", "zstd")
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+         .config("spark.ui.enabled", "false"))
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
