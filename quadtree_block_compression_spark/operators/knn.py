@@ -1,0 +1,145 @@
+"""kNN block lookup via cell-ring expansion (SURVEY.md §2.12).
+
+No reference counterpart — this is the engine-mandated nearest-neighbor
+operator over block centroids. Strategy (the H3 ``grid_ring`` pattern, run
+with Z-order cells):
+
+1. queries carry a cell at the index resolution;
+2. iteratively expand each *unsatisfied* query's candidate set with the
+   cells at Chebyshev ring r = 0, 1, 2, … (an equi-join per ring on the cell
+   key — a shuffle-free broadcast join while the query side is small);
+3. a query terminates when its kth-best distance so far is ≤ ``ring · c``
+   (cell width c): any point in shell ``ring+1`` or beyond lies ≥ ``ring · c``
+   away (Chebyshev shell R is ≥ (R−1)·c in Euclidean distance from anywhere
+   in the query's cell), so no unseen point can beat the current top-k;
+4. exact Euclidean distance + ``row_number() ≤ k`` window top-k, ties broken
+   deterministically by (distance, image_id, tile_id).
+
+The loop is driver-side but touches only the (small) unsatisfied-query set;
+the big blocks side is never re-shuffled — each iteration is a fresh
+broadcast hash join against the same cell-keyed blocks DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+
+
+def _query_cells(queries: DataFrame, res: int) -> DataFrame:
+    @pandas_udf("long")
+    def enc(x, y):  # type: ignore[misc]
+        import pandas as pd
+        from ..kernels.geometry import cell_encode
+        return pd.Series(cell_encode(x.to_numpy(dtype=float), y.to_numpy(dtype=float), res))
+    return queries.withColumn("cell", enc("x", "y"))
+
+
+def _ring_cells(queries: DataFrame, ring: int, prev_ring: int) -> DataFrame:
+    """Explode each query to the shell of cells at Chebyshev distance in
+    ``(prev_ring, ring]`` — the disk difference, so already-joined cells are
+    never re-joined."""
+    @pandas_udf("array<long>")
+    def ring_of(cell):  # type: ignore[misc]
+        import numpy as np
+        import pandas as pd
+        from ..kernels.geometry import cell_ring
+        if len(cell) == 0:
+            return pd.Series([], dtype=object)
+        full = cell_ring(cell.to_numpy(dtype=np.int64), ring)
+        if prev_ring < 0:
+            return pd.Series([np.unique(f).tolist() for f in full])
+        inner = cell_ring(cell.to_numpy(dtype=np.int64), prev_ring)
+        return pd.Series([np.setdiff1d(f, i).tolist() for f, i in zip(full, inner)])
+    return (queries.withColumn("join_cell", F.explode(ring_of("cell")))
+            .select("query_id", "x", "y", "k", "join_cell"))
+
+
+def knn_ring(points: DataFrame, queries: DataFrame,
+             cfg: EngineConfig = DEFAULT_CONFIG, res: int | None = None,
+             max_ring: int = 8) -> DataFrame:
+    """kNN of each query point over block centroids.
+
+    ``points``: cell-keyed centroids (image_id, tile_id, wx, wy, cell) —
+    output of ``spatial_join.block_centroids``. ``queries``: (query_id, x,
+    y, k). Returns ``(query_id, image_id, tile_id, distance, rank)`` with
+    rank ≤ k.
+    """
+    import pandas as pd
+
+    from ..kernels.geometry import WORLD
+    res = res if res is not None else cfg.spatial.cell_resolution
+    cell_width = WORLD / (1 << res)
+    spark = queries.sparkSession
+    pts = points.select("image_id", "tile_id", "wx", "wy", "cell")
+    q = _query_cells(queries.select("query_id", "x", "y", "k"), res).localCheckpoint(eager=True)
+    q_schema = "query_id string, x double, y double, k int, cell long"
+
+    pending = q
+    gathered: DataFrame | None = None
+    # doubling radius schedule: log-many iterations instead of one per shell
+    radii = [0]
+    while radii[-1] < max_ring:
+        radii.append(min(max(radii[-1] * 2, 1), max_ring))
+    prev = -1
+    for ring in radii:
+        if pending.isEmpty():
+            break
+        cand = (pts.join(broadcast(_ring_cells(pending, ring, prev)),
+                         pts["cell"] == F.col("join_cell"))
+                .select("query_id", "image_id", "tile_id",
+                        F.sqrt(F.pow(F.col("wx") - F.col("x"), 2)
+                               + F.pow(F.col("wy") - F.col("y"), 2)).alias("distance")))
+        gathered = cand if gathered is None else gathered.unionByName(cand)
+        gathered = gathered.localCheckpoint(eager=True)  # bound plan growth
+        # kth-best distance per query so far; done ⇔ dk ≤ ring·c (no point in
+        # an unseen shell can beat the current top-k)
+        wq = Window.partitionBy("query_id").orderBy("distance", "image_id", "tile_id")
+        done = (gathered.withColumn("_rn", F.row_number().over(wq))
+                .join(q.select("query_id", "k"), "query_id")
+                .filter((F.col("_rn") == F.col("k"))
+                        & (F.col("distance") <= F.lit(float(ring) * cell_width)))
+                .select("query_id"))
+        # sever pending's lineage: the query set is tiny by contract, so a
+        # driver round-trip is cheaper than a growing anti-join chain
+        still = pending.join(done, "query_id", "left_anti").toPandas()
+        if len(still) == 0:
+            pending = spark.createDataFrame([], q_schema)
+            break
+        pending = spark.createDataFrame(still)
+        prev = ring
+
+    if gathered is None:
+        gathered = queries.sparkSession.createDataFrame(
+            [], "query_id string, image_id string, tile_id string, distance double")
+    # queries still pending after max_ring (deep in empty regions) fall back
+    # to brute force — the tail is tiny by construction, so the cross join
+    # touches |pending| × |points|, not |queries| × |points|.
+    w = Window.partitionBy("query_id").orderBy("distance", "image_id", "tile_id")
+    ringed = (gathered.join(pending.select("query_id"), "query_id", "left_anti")
+              .dropDuplicates(["query_id", "image_id", "tile_id"])
+              .withColumn("rank", F.row_number().over(w))
+              .join(q.select("query_id", "k"), "query_id")
+              .filter(F.col("rank") <= F.col("k"))
+              .select("query_id", "image_id", "tile_id", "distance", "rank"))
+    if pending.isEmpty():
+        return ringed
+    fallback = knn_bruteforce(points, pending.select("query_id", "x", "y", "k"))
+    return ringed.unionByName(fallback)
+
+
+def knn_bruteforce(points: DataFrame, queries: DataFrame) -> DataFrame:
+    """Oracle-shaped baseline: cross join + window top-k. Correct at any
+    scale but O(|P|·|Q|) — used to verify ``knn_ring`` and for tiny inputs."""
+    cand = (points.select("image_id", "tile_id", "wx", "wy")
+            .crossJoin(broadcast(queries.select("query_id", "x", "y", "k")))
+            .withColumn("distance",
+                        F.sqrt(F.pow(F.col("wx") - F.col("x"), 2)
+                               + F.pow(F.col("wy") - F.col("y"), 2))))
+    w = Window.partitionBy("query_id").orderBy("distance", "image_id", "tile_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= F.col("k"))
+            .select("query_id", "image_id", "tile_id", "distance", "rank"))

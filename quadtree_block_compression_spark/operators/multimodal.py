@@ -1,0 +1,149 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with explicit metadata
+columns (never sniffed server-side — cf. the reference's magic-byte dispatch,
+``cmd/codec/main.go:39-40``, which we keep only inside the decode kernel).
+All heavy work is ``mapInPandas`` over Arrow batches with small
+``maxRecordsPerBatch`` (multi-MB payloads): schema, partitioning, UDF
+signature and batch shape are the real, tested plumbing.
+
+Image decode/resize use this repo's own numpy codecs (real). Audio decode and
+video frame-sampling are STUBS — the container has no soundfile/ffmpeg — that
+raise ``NotImplementedError`` for real formats but implement a deterministic
+fake ('QAUD'/'QVID' headers) so the Spark plumbing is exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+AUD_SIG = b"QAUD"  # fake deterministic audio container: header + f32 samples
+VID_SIG = b"QVID"  # fake deterministic video container: header + raw frames
+
+IMAGE_FEATURES_SCHEMA = ("image_id string, w int, h int, mean_r double, "
+                         "mean_g double, mean_b double, edge_energy double, "
+                         "phash long")
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode → per-image features (means, gradient energy, phash).
+
+    One Arrow pass; only (image_id, bytes) cross the boundary.
+    """
+    src = images.select("image_id", "bytes")
+
+    def feats(batches):
+        import numpy as np
+        import pandas as pd
+        from ..kernels.codecs import decode_image
+        from ..kernels.phash import phash64
+        for pdf in batches:
+            out = []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                img = decode_image(bytes(data)).astype(np.float64)
+                gy = np.abs(np.diff(img, axis=0)).mean() if img.shape[0] > 1 else 0.0
+                gx = np.abs(np.diff(img, axis=1)).mean() if img.shape[1] > 1 else 0.0
+                out.append((image_id, img.shape[1], img.shape[0],
+                            float(img[..., 0].mean()), float(img[..., 1].mean()),
+                            float(img[..., 2].mean()), float(gx + gy),
+                            int(phash64(img.astype(np.uint8)))))
+            yield pd.DataFrame(out, columns=["image_id", "w", "h", "mean_r",
+                                             "mean_g", "mean_b", "edge_energy", "phash"])
+
+    return src.mapInPandas(feats, IMAGE_FEATURES_SCHEMA)
+
+
+def image_resize(images: DataFrame, dst_w: int, dst_h: int,
+                 method: str = "CatmullRom", out_fmt: str = "png") -> DataFrame:
+    """Decode → resample → re-encode. Returns (image_id, bytes, w, h, fmt)."""
+    src = images.select("image_id", "bytes")
+
+    def rz(batches):
+        import pandas as pd
+        from ..kernels.codecs import decode_image, encode_image
+        from ..kernels.resample import scale
+        for pdf in batches:
+            out = []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                img = decode_image(bytes(data))
+                res = scale(img, dst_h, dst_w, method)
+                out.append((image_id, encode_image(res, out_fmt), dst_w, dst_h, out_fmt))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return src.mapInPandas(rz, "image_id string, bytes binary, w int, h int, fmt string")
+
+
+def audio_decode_stub(audio: DataFrame, id_col: str = "clip_id",
+                      bytes_col: str = "bytes") -> DataFrame:
+    """Audio decode plumbing. Real formats (wav/mp3/flac) raise
+    ``NotImplementedError`` (no audio libs in this container); the QAUD fake
+    decodes deterministically so schema/batching are tested."""
+    src = audio.select(id_col, bytes_col)
+
+    def dec(batches):
+        import struct
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for cid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data)
+                if data[:4] != AUD_SIG:
+                    raise NotImplementedError(
+                        "real audio codecs unavailable in this environment; "
+                        "payload must be QAUD (deterministic test container)")
+                (sr, n) = struct.unpack(">II", data[4:12])
+                samples = np.frombuffer(data[12:12 + 4 * n], dtype=">f4")
+                out.append((cid, sr, n, float(samples.mean()) if n else 0.0,
+                            float(np.abs(samples).max()) if n else 0.0))
+            yield pd.DataFrame(out, columns=[id_col, "sample_rate", "n_samples",
+                                             "mean_amp", "peak_amp"])
+
+    return src.mapInPandas(dec, f"{id_col} long, sample_rate int, n_samples int, "
+                                "mean_amp double, peak_amp double")
+
+
+def video_frame_sample_stub(video: DataFrame, every_n: int = 10,
+                            id_col: str = "video_id", bytes_col: str = "bytes") -> DataFrame:
+    """Frame sampling plumbing (1 row in → N frame rows out). QVID fake:
+    header (h, w, n_frames) + raw RGB frames; real containers raise."""
+    src = video.select(id_col, bytes_col)
+
+    def sample(batches):
+        import struct
+        import numpy as np
+        import pandas as pd
+        from ..kernels.codecs import encode_png
+        for pdf in batches:
+            out = []
+            for vid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data)
+                if data[:4] != VID_SIG:
+                    raise NotImplementedError(
+                        "real video demuxing unavailable in this environment; "
+                        "payload must be QVID (deterministic test container)")
+                h, w, nf = struct.unpack(">III", data[4:16])
+                sz = h * w * 3
+                for f in range(0, nf, every_n):
+                    frame = np.frombuffer(data[16 + f * sz:16 + (f + 1) * sz],
+                                          dtype=np.uint8).reshape(h, w, 3)
+                    out.append((vid, f, encode_png(frame)))
+            yield pd.DataFrame(out, columns=[id_col, "frame_idx", "frame_png"])
+
+    return src.mapInPandas(sample, f"{id_col} long, frame_idx int, frame_png binary")
+
+
+def make_fake_audio(clip_id: int, sr: int = 16000, n: int = 1600) -> bytes:
+    import struct
+    import numpy as np
+    rng = np.random.default_rng(clip_id)
+    samples = (rng.random(n, dtype=np.float64) - 0.5).astype(">f4")
+    return AUD_SIG + struct.pack(">II", sr, n) + samples.tobytes()
+
+
+def make_fake_video(video_id: int, h: int = 8, w: int = 8, nf: int = 30) -> bytes:
+    import struct
+    import numpy as np
+    rng = np.random.default_rng(video_id)
+    frames = rng.integers(0, 256, (nf, h, w, 3), dtype=np.int64).astype(np.uint8)
+    return VID_SIG + struct.pack(">III", h, w, nf) + frames.tobytes()

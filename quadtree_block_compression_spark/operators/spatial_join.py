@@ -1,0 +1,156 @@
+"""Spatial layer: cell keys, point-in-polygon joins (broadcast + salted).
+
+The north rule's generalization layer (SURVEY.md §2.12): lift the reference's
+axis-aligned rectangle tests (``pkg/utils/comparisonUtils.go:107-120``) to a
+cell-indexed point-in-polygon join between block centroids and query
+geometries.
+
+Plan shapes, chosen per side-size and skew:
+
+* **broadcast PIP join** — polygons exploded to covering cells, broadcast;
+  blocks join on ``cell`` (hash equi-join, no shuffle of the big side), then
+  an Arrow UDF verifies exact PIP on the candidates only. This is the 100 TB
+  default: polygon sets are dimension-sized.
+* **salted shuffle join** — when one cell's candidate count explodes (a hot
+  polygon covering half the world), a single join *key* still lands on one
+  task; AQE's skew splitting can't fix key-level skew. Hot cells are detected
+  from a cheap count aggregate, the polygon side is exploded ×S on salt, the
+  block side picks ``pmod(hash(block), S)`` — classic salt-explode.
+
+The world frame is ``kernels.geometry``'s ``[0, WORLD)²``; image tiles land
+in it through a fixed per-image affine (image grid cell + padded-canvas
+offset), so tile bounds and polygon vertices share units (FIXTURES.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+from ..kernels.geometry import WORLD
+
+# images tile into a GRID×GRID mosaic of the world frame: image i occupies
+# world cell (i % GRID, i // GRID % GRID), scaled so one padded canvas maps
+# onto one mosaic cell. Deterministic, documented affine (FIXTURES.md §2).
+MOSAIC_GRID = 64
+
+
+def block_centroids(blocks: DataFrame, res: int | None = None,
+                    cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Blocks → world-frame centroid points + cell key.
+
+    The affine and the cell encode are vectorized in one Arrow UDF (the
+    "batched, vectorized cell encode" the north rule names); everything
+    upstream/downstream stays JVM-side.
+    """
+    res = res if res is not None else cfg.spatial.cell_resolution
+    cell_w = WORLD / MOSAIC_GRID
+
+    @pandas_udf("long")
+    def cell_of(wx, wy):  # type: ignore[misc]
+        import pandas as pd
+        from ..kernels.geometry import cell_encode
+        return pd.Series(cell_encode(wx.to_numpy(dtype=float), wy.to_numpy(dtype=float), res))
+
+    # affine: image index (trailing digits of image_id, JVM regexp) picks the
+    # mosaic cell; the padded canvas [0, side)² scales onto it — pure column
+    # arithmetic, then ONE vectorized UDF call for the cell encode.
+    cw = F.lit(cell_w)
+    with_w = (blocks
+              .withColumn("_idx", F.regexp_extract("image_id", r"(\d+)$", 1).cast("long"))
+              .withColumn("_side", ((F.col("x1") - F.col("x0"))
+                                    * F.pow(F.lit(2.0), F.col("level"))).cast("double"))
+              .withColumn("wx", (F.col("_idx") % MOSAIC_GRID) * cw
+                          + ((F.col("x0") + F.col("x1")) / 2.0) * cw / F.col("_side"))
+              .withColumn("wy", ((F.col("_idx") / MOSAIC_GRID).cast("long") % MOSAIC_GRID) * cw
+                          + ((F.col("y0") + F.col("y1")) / 2.0) * cw / F.col("_side"))
+              .drop("_idx", "_side"))
+    return with_w.withColumn("cell", cell_of("wx", "wy"))
+
+
+def polygons_by_cell(geoms: DataFrame) -> DataFrame:
+    """Explode polygons to their covering cells (precomputed or via kernel)."""
+    return geoms.select("geom_id", "vx", "vy", "is_hot",
+                        F.explode("cell_keys").alias("cell"))
+
+
+def _verify_pip(cand: DataFrame) -> DataFrame:
+    """Exact PIP verification on candidate rows (point, polygon) — Arrow UDF."""
+
+    @pandas_udf("boolean")
+    def pip(px, py, vx, vy):  # type: ignore[misc]
+        import numpy as np
+        import pandas as pd
+        from ..kernels.geometry import points_in_polygon
+        out = np.zeros(len(px), dtype=bool)
+        if len(px) == 0:
+            return pd.Series(out)
+        x = px.to_numpy(dtype=np.float64)
+        y = py.to_numpy(dtype=np.float64)
+        # group rows by polygon to vectorize across points per polygon
+        df = pd.DataFrame({"x": x, "y": y, "i": np.arange(len(x))})
+        for (vxs, vys), grp in df.groupby([vx.map(tuple), vy.map(tuple)], sort=False):
+            m = points_in_polygon(grp["x"].to_numpy(), grp["y"].to_numpy(),
+                                  np.asarray(vxs), np.asarray(vys))
+            out[grp["i"].to_numpy()] = m
+        return pd.Series(out)
+
+    return cand.withColumn("_inside", pip("wx", "wy", "vx", "vy")).filter("_inside").drop("_inside")
+
+
+def spatial_join_broadcast(points: DataFrame, geoms: DataFrame) -> DataFrame:
+    """Broadcast block→polygon PIP join.
+
+    ``points``: output of :func:`block_centroids` (needs wx, wy, cell).
+    ``geoms``: geometries table (geom_id, vx, vy, cell_keys).
+    Returns matched ``(image_id, tile_id, geom_id, wx, wy)`` rows.
+    """
+    polys = broadcast(polygons_by_cell(geoms))
+    cand = points.join(polys, "cell")
+    hits = _verify_pip(cand)
+    # a polygon covering k cells can candidate the same (point, polygon) once
+    # per cell only if the point sat on a cell border — dedup for safety
+    return (hits.select("image_id", "tile_id", "geom_id", "wx", "wy")
+            .dropDuplicates(["image_id", "tile_id", "geom_id"]))
+
+
+def detect_hot_cells(points: DataFrame, threshold: int) -> DataFrame:
+    """Cells whose candidate count exceeds ``threshold`` — the skew census
+    driving salting (a stage metric, not a constant; SURVEY.md §7)."""
+    return (points.groupBy("cell").count()
+            .filter(F.col("count") > threshold)
+            .select("cell", F.col("count").alias("cell_count")))
+
+
+def spatial_join_salted(points: DataFrame, geoms: DataFrame,
+                        cfg: EngineConfig = DEFAULT_CONFIG,
+                        salt: int | None = None,
+                        hot_threshold: int | None = None) -> DataFrame:
+    """Skew-safe PIP join: hot cells get salt-exploded polygons.
+
+    Cold cells take the broadcast path; hot cells join on ``(cell, salt)``
+    where the polygon side is exploded ×S and the point side derives its salt
+    as ``pmod(xxhash64(image_id, tile_id), S)`` — even load without changing
+    the result set (union of both paths equals the plain join).
+    """
+    s = salt or cfg.spatial.salt_factor
+    thr = hot_threshold if hot_threshold is not None else cfg.spatial.hot_cell_threshold
+    hot = detect_hot_cells(points, thr)
+
+    pts = points.join(broadcast(hot), "cell", "left")
+    cold_pts = pts.filter(F.col("cell_count").isNull()).drop("cell_count")
+    hot_pts = (pts.filter(F.col("cell_count").isNotNull()).drop("cell_count")
+               .withColumn("_salt", F.pmod(F.xxhash64("image_id", "tile_id"), F.lit(s))))
+
+    polys = polygons_by_cell(geoms)
+    hot_polys = (polys.join(broadcast(hot.select("cell")), "cell")
+                 .withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(s)]))))
+
+    cold_hits = _verify_pip(cold_pts.join(broadcast(polys), "cell"))
+    hot_hits = _verify_pip(hot_pts.join(hot_polys, ["cell", "_salt"]).drop("_salt"))
+
+    out_cols = ["image_id", "tile_id", "geom_id", "wx", "wy"]
+    return (cold_hits.select(out_cols).unionByName(hot_hits.select(out_cols))
+            .dropDuplicates(["image_id", "tile_id", "geom_id"]))

@@ -1,0 +1,106 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+fingerprinting — all pure JVM column expressions (no Python anywhere).
+
+These are the per-document scalar stages a 100 TB training-data pipeline
+runs before dedup/filtering. Everything here whole-stage-codegens: one
+projection over the documents scan, no shuffles, trivially linear scaling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.portable_hash import portable_hash64
+
+# tiny stopword inventories for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"],
+}
+
+
+def token_count(text_col: str = "text"):
+    """Whitespace token count (column expression)."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text_col: str = "text"):
+    """Sub-word-ish token count: words + digit runs + punctuation marks, via
+    one regexp pass (a cheap stand-in for BPE vocab tokenization)."""
+    return F.size(F.regexp_extract_all(F.col(text_col),
+                                       F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: length, token stats, punctuation ratio,
+    stopword ratio, uppercase ratio, digit ratio, mean word length."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = token_count(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    words = F.split(F.lower(t), r"\s+")
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?'\"]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        toks.alias("n_tokens"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(toks, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+        F.round(upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
+        F.round((n_chars - toks + 1) / F.greatest(toks, F.lit(1)), 6).alias("mean_word_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite 0..1 quality score (monotone penalties, documented weights)."""
+    f = quality_features(docs, text_col, id_col)
+    length_ok = F.when((F.col("n_chars_calc") >= 50) & (F.col("n_chars_calc") <= 10000),
+                       F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ok = F.when(F.col("stopword_ratio") >= 0.05, F.lit(1.0)).otherwise(F.lit(0.6))
+    return f.select(
+        id_col,
+        F.round(length_ok * punct_ok * stop_ok, 6).alias("quality"),
+        "n_tokens", "punct_ratio", "stopword_ratio")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: score per language = fraction of tokens in
+    that language's stopword list; argmax with deterministic tie-break
+    (language name ascending), 'und' when all scores are zero."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.greatest(F.size(words), F.lit(1))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        score = F.size(F.filter(words, lambda w: F.array_contains(arr, w))) / n
+        scores.append(F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang")))
+    # max_by on (score, -lang): array_max over structs compares fields in order;
+    # to break ties toward the *smallest* language name we sort desc by score
+    # then asc by lang via sort_array of (negated score, lang)
+    best = F.sort_array(F.array(*[F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang"),
+                                           s["score"].alias("score")) for s in scores]))[0]
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["score"].alias("lang_score"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: portable 60-bit hash of the normalized text
+    (lowercased, whitespace-collapsed, punctuation-stripped) — the
+    canonicalization used for fuzzy-exact dedup."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return docs.select(F.col(id_col), portable_hash64(norm).alias("fingerprint"),
+                       F.length(norm).alias("norm_len"))
