@@ -99,8 +99,8 @@ def _nation_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECT_SQL = f"""
   SELECT 'poly_' || lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS geom_id,
-         (n_nationkey * {_PX} * 7919 + 12345) % {_W} AS cx,
-         (n_nationkey * {_PY} * 104729 + 54321) % {_W} AS cy,
+         (CAST(n_nationkey AS BIGINT) * {_PX} * 7919 + 12345) % {_W} AS cx,
+         (CAST(n_nationkey AS BIGINT) * {_PY} * 104729 + 54321) % {_W} AS cy,
          30000 + (n_nationkey % 7) * 20000 AS hw,
          30000 + (n_nationkey % 5) * 25000 AS hh
   FROM nation
@@ -606,14 +606,15 @@ def oracle_sql() -> dict[str, str]:
             FROM cand QUALIFY rank <= 5
         """,
         "embedding_near_dup": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_sum(list_transform(range(1, len(a.v) + 1),
-                                  i -> a.v[i] * b.v[i]))
-                         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                            * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
-            FROM e a, e b WHERE a.vec_id < b.vec_id
-            QUALIFY cos >= 0.35
+            SELECT * FROM (
+              WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_sum(list_transform(range(1, len(a.v) + 1),
+                                    i -> a.v[i] * b.v[i]))
+                           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+              FROM e a, e b WHERE a.vec_id < b.vec_id
+            ) WHERE cos >= 0.35
         """,
         "cell_assign": f"""
             WITH p AS (
