@@ -72,13 +72,22 @@ def assign_tiles_image(img: np.ndarray, cfg: EngineConfig = DEFAULT_CONFIG) -> d
         nodes = _gather_nodes(padded, x0, y0, s)
 
         down = scale_batch(nodes, BLOCK_SIZE, BLOCK_SIZE, qt.downsampling_interpolator)
-        up = scale_batch(down, s, s, qt.upsampling_interpolator)
-        sim = compare_pixels_weighted(up, nodes, x0, y0, w, h)
 
         # rule 1: fully out of the original image's bounds
         oob = ~rectangles_collide(bounds, np.array([0, 0, w, h], dtype=np.float64))
-        # rules in reference order (quadtreeElement.go:142-155)
+        # rule 2: min block size
         min_size = s <= BLOCK_SIZE
+        # rule 3 (similarity) is evaluated ONLY for nodes rules 1-2 didn't
+        # decide — exactly like checkIsLeaf's early returns
+        # (quadtreeElement.go:142-155, compareImages called at :154 only).
+        # The skipped upsample+compare at the bottom level is the single
+        # hottest saving in the whole kernel; undecided rows carry NaN.
+        sim = np.full(len(bounds), np.nan)
+        need = ~(oob | min_size)
+        if need.any():
+            up = scale_batch(down[need], s, s, qt.upsampling_interpolator)
+            sim[need] = compare_pixels_weighted(up, nodes[need], x0[need],
+                                                y0[need], w, h)
         is_leaf = oob | min_size | (sim > qt.similarity_cutoff)
 
         out["tile_id"].extend(tile_ids.tolist())

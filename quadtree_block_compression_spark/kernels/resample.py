@@ -82,13 +82,19 @@ def scale_batch(imgs: np.ndarray, dst_h: int, dst_w: int, method: str) -> np.nda
         iy = _nn_index(h, dst_h)
         ix = _nn_index(w, dst_w)
         return imgs[:, iy[:, None], ix[None, :], :]
-    wy = _distrib(h, dst_h, method)  # (dst_h, h)
-    wx = _distrib(w, dst_w, method)  # (dst_w, w)
-    v16 = imgs.astype(np.float64) * 257.0  # 16-bit color domain
+    wy = _distrib(h, dst_h, method)              # (dst_h, h)
+    wx = _distrib(w, dst_w, method) * 257.0      # (dst_w, w); fold the 16-bit
+    # expansion (v8·0x101) into the tiny weight matrix instead of a full-array
+    # multiply — exact, since the expansion is linear.
+    v = imgs.astype(np.float64)
     # horizontal then vertical, float64 throughout, one final rounding
-    tmp = np.einsum("nhwc,xw->nhxc", v16, wx, optimize=True)
+    tmp = np.einsum("nhwc,xw->nhxc", v, wx, optimize=True)
     out = np.einsum("nhxc,yh->nyxc", tmp, wy, optimize=True)
-    out = np.clip(out + 0.5, 0.0, 65535.0).astype(np.uint16) >> 8
+    # Go's ftou + >>8, fused in place: u8 = floor(clamp(sum16 + 0.5)) >> 8
+    # == floor(clamp(sum16 + 0.5) / 256) (integer floor commutes with /256)
+    np.add(out, 0.5, out=out)
+    np.clip(out, 0.0, 65535.0, out=out)
+    np.floor_divide(out, 256.0, out=out)
     return out.astype(np.uint8)
 
 

@@ -25,8 +25,14 @@ WEIGHT_R = 0.2989
 WEIGHT_G = 0.5870
 WEIGHT_B = 0.1140
 _WEIGHTS = np.array([WEIGHT_R, WEIGHT_G, WEIGHT_B])
-# tolerances in the 16-bit domain: 1000 * weight (comparisonUtils.go:79-88)
-_TOL16 = 1000.0 * _WEIGHTS
+# tolerances in the 16-bit domain: 1000 * weight (comparisonUtils.go:79-88).
+# Since both operands are v8 * 0x101, the 16-bit diff is always diff8 * 257,
+# so the float comparison |a16-b16| <= 1000*w is EXACTLY equivalent to the
+# integer comparison diff8 <= floor(1000*w / 257) — i.e. R: ±1, G: ±2, B: 0.
+# The integer path moves 8-bit data instead of three float64 temporaries;
+# the kernel is memory-bandwidth-bound at high core counts, so this is the
+# difference between 2.3× and near-linear 8→32-core scaling.
+_TOL8 = (1000.0 * _WEIGHTS / 257.0).astype(np.int16)  # [1, 2, 0]
 
 
 def _relevant_mask(n: int, size: int, x0: np.ndarray, y0: np.ndarray,
@@ -55,10 +61,12 @@ def compare_pixels_weighted(a: np.ndarray, b: np.ndarray, x0: np.ndarray,
     a = np.asarray(a); b = np.asarray(b)
     n, s = a.shape[0], a.shape[1]
     x0 = np.asarray(x0, dtype=np.int64); y0 = np.asarray(y0, dtype=np.int64)
-    diff16 = np.abs(a.astype(np.float64) - b.astype(np.float64)) * 257.0
-    in_range = diff16 <= _TOL16  # (n, s, s, 3)
+    diff8 = np.abs(a.astype(np.int16) - b.astype(np.int16))  # (n, s, s, 3) int16
+    in_range = diff8 <= _TOL8  # bool, exact per the 16-bit-domain identity
     mask = _relevant_mask(n, s, x0, y0, width, height)
-    matches = np.einsum("nyxc,c->n", in_range & mask[..., None], _WEIGHTS)
+    # per-channel integer match counts, then one tiny float combination
+    counts = (in_range & mask[..., None]).sum(axis=(1, 2), dtype=np.int64)  # (n, 3)
+    matches = counts @ _WEIGHTS
     relevant = mask.sum(axis=(1, 2)).astype(np.float64)
     return np.where(relevant <= 0, 1.0, matches / np.maximum(relevant, 1.0))
 

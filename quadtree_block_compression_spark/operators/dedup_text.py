@@ -58,15 +58,23 @@ def word_shingles(docs: DataFrame, n: int, text_col: str = "text",
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_df: int | None = None) -> DataFrame:
     """All doc pairs with word-n-gram Jaccard ≥ threshold.
 
     Plan: shingle explode → self equi-join on shingle (the only shuffle)
     → pair intersection counts → join per-doc set sizes → ratio filter.
-    At scale, frequent-shingle skew is bounded by dropping ubiquitous
-    shingles (doc-frequency cap) — standard practice; the cap is exposed.
+    ``max_df`` drops shingles occurring in more than that many documents —
+    the standard web-scale mitigation for the quadratic blowup a ubiquitous
+    shingle causes in the self-join (a shingle in d docs contributes d²/2
+    candidate pairs). When set, Jaccard is computed over the capped shingle
+    sets on both sides of the ratio (consistent semantics).
     """
     sh = word_shingles(docs, n, text_col, id_col)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        sh = (sh.join(df_counts.where(F.col("_df") <= max_df).select("shingle"),
+                      "shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")

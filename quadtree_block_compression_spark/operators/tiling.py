@@ -49,14 +49,19 @@ def assign_tiles(images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
         from ..kernels.codecs import decode_image
         from ..kernels.quadtree import assign_tiles_image
 
+        # one output DataFrame per input Arrow batch (not per image):
+        # per-image yields would emit thousands of ~100-row record batches,
+        # and Arrow framing overhead dominates at high core counts
         for pdf in batches:
+            parts = []
             for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
                 img = decode_image(bytes(data))
                 cols = assign_tiles_image(img, cfg)
-                n = len(cols["tile_id"])
-                out = pd.DataFrame(cols)
-                out.insert(0, "image_id", [image_id] * n)
-                yield out
+                part = pd.DataFrame(cols)
+                part.insert(0, "image_id", image_id)
+                parts.append(part)
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     blocks = src.mapInPandas(tile_batches, BLOCKS_SCHEMA)
     return (blocks

@@ -21,6 +21,14 @@ from pyspark.sql import SparkSession
 
 def build_session(app: str = "quadtree-engine", cores: int | None = None,
                   shuffle_partitions: int | None = None, extra: dict | None = None) -> SparkSession:
+    # One math thread per python worker: Spark parallelizes across workers
+    # (one per core), so intra-op BLAS/OpenMP threading would oversubscribe
+    # the box and falsify core-count scaling (on a real cluster, executor
+    # cores are the unit of parallelism). Must be set before the JVM forks
+    # the python worker daemon.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     b = (SparkSession.builder.appName(app)

@@ -308,7 +308,23 @@ def test_quadtree_deterministic():
     img = np.random.default_rng(4).integers(0, 256, (100, 64, 3), dtype=np.int64).astype(np.uint8)
     a = assign_tiles_image(img)
     b = assign_tiles_image(img)
-    assert a == b
+    for k in a:
+        if k == "similarity":  # NaN-aware (rule-3-skipped rows carry NaN)
+            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k]), equal_nan=True)
+        else:
+            assert a[k] == b[k], k
+
+
+def test_quadtree_similarity_nan_only_for_rule12_leaves():
+    # similarity is computed iff rules 1-2 didn't already decide (the
+    # reference calls compareImages only at quadtreeElement.go:154)
+    img = np.random.default_rng(6).integers(0, 256, (16, 16, 3), dtype=np.int64).astype(np.uint8)
+    out = assign_tiles_image(img)
+    for tid, x0, x1, sim in zip(out["tile_id"], out["x0"], out["x1"], out["similarity"]):
+        if x1 - x0 <= 8:
+            assert np.isnan(sim), tid
+        else:
+            assert not np.isnan(sim), tid
 
 
 def test_roundtrip_reassembly_lossless_blocks():
