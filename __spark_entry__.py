@@ -276,16 +276,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def embedding_near_dup(spark, sf):
         (emb,) = _tables(spark, sf, "embeddings")
-        # brute-force tier (oracle-checkable); the LSH tier is ann_lsh_topk
-        e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-        b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+        # brute-force tier (oracle-checkable); the LSH tier is ann_lsh_topk.
+        # Norms are computed once per vector BEFORE the cross join (the pair
+        # count is quadratic; per-pair norm recomputation would dominate).
+        e = (emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+             .withColumn("nrm", F.sqrt(F.aggregate("v", F.lit(0.0),
+                                                   lambda acc, x: acc + x * x))))
+        a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+        b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
         dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
                           lambda acc, x: acc + x)
-        nrm = (F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-               * F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x)))
         return (a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
-                .withColumn("cos", F.round(dot / nrm, 6))
+                .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
                 .where(F.col("cos") >= 0.35)
                 .select("vec_a", "vec_b", "cos"))
 
@@ -357,6 +361,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("mean_g", 4).alias("mean_g"),
                           F.round("mean_b", 4).alias("mean_b"), "phash")
 
+    def interpolator_matrix(spark, sf):
+        from quadtree_block_compression_spark.operators.calibration import (
+            interpolator_matrix as matrix)
+        images = _fixture_images(spark, 8)
+        return matrix(images).select("image_id", "down", "up",
+                                     F.round("similarity", 9).alias("similarity"))
+
+    def archive_roundtrip(spark, sf):
+        from quadtree_block_compression_spark.sources.archive import (
+            write_archives, read_archives)
+        images = _fixture_images(spark, 8)
+        blocks = tiling.assign_tiles(images)
+        back = read_archives(write_archives(blocks, images))
+        return (back.groupBy("image_id", "w", "h", "tree_height")
+                .agg(F.count("*").alias("n_blocks"),
+                     F.sum(F.col("is_symlink").cast("int")).alias("n_symlinks")))
+
+    def lineage_rollup(spark, sf):
+        from quadtree_block_compression_spark.plans.lineage import (
+            partition_lineage, lineage_summary)
+        images = _fixture_images(spark, 16)
+        blocks = tiling.assign_tiles(images, repartition=8)
+        return lineage_summary(partition_lineage(blocks, "tile_assign")).select(
+            "stage", "rows_total")
+
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_by_order": q3_revenue_by_order,
@@ -385,6 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_dedup_exact": block_dedup_exact,
         "block_near_dedup": block_near_dedup,
         "image_features": image_features,
+        "interpolator_matrix": interpolator_matrix,
+        "archive_roundtrip": archive_roundtrip,
+        "lineage_rollup": lineage_rollup,
     }
 
 

@@ -42,14 +42,16 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
     Returns (q_id, vec_id, cos, rank), rank 1..k, cos rounded to 6 dp for
     cross-engine float stability, self-matches excluded when ids collide.
     """
-    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    q = queries.select(F.col(q_id_col).alias("q_id"),
-                       F.col(q_vec_col).cast("array<double>").alias("qv"))
+    # norms precomputed per row, not per pair (the join is quadratic)
+    e = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn("_n", _norm(F.col("v"))))
+    q = (queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col(q_vec_col).cast("array<double>").alias("qv"))
+         .withColumn("_qn", _norm(F.col("qv"))))
     cand = (e.crossJoin(broadcast(q))
             .where(F.col(id_col) != F.col("q_id"))
             .withColumn("cos", F.round(
-                _dot(F.col("v"), F.col("qv"))
-                / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)))
+                _dot(F.col("v"), F.col("qv")) / (F.col("_n") * F.col("_qn")), 6)))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)

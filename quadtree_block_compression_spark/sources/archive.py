@@ -1,0 +1,121 @@
+"""Per-image archive artifacts — parity with the reference's encode output.
+
+The reference writes one tar.gz/zip per image: JPEG leaf blocks at paths
+``"0/3/1"`` derived from tile ids, pseudo-symlinks (path-string file bodies)
+for deduplicated blocks, and a 3-line ``meta`` file
+(``pkg/quadtreeImage/archive.go:52-128``, ``quadtreeElement.go:238-276``,
+``quadtreeImage.go:134-143``).
+
+In this engine the blocks *table* is the archive of record (SURVEY.md §2.1
+S3) — but the per-image artifact is still useful as an interchange/demo
+format, so it's implemented as a grouped Arrow UDF producing one
+``(image_id, archive binary)`` row per image, and a scan that turns archives
+back into block rows. Both zip (stored + deflate) via stdlib ``zipfile``.
+
+Format notes:
+* member path = ``"/".join(tile_id)`` (root leaf = ``"root"`` since the
+  reference's root path would be the empty string);
+* dedup'd members hold the canonical member's path as UTF-8 text (the
+  pseudo-symlink), detected on read by failing magic-byte sniff — exactly
+  the reference's detection rule (``quadtreeElement.go:291``);
+* ``meta`` = ``"<tree_height>\\n<width>\\n<height>"``.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import EngineConfig, DEFAULT_CONFIG
+
+ARCHIVES_SCHEMA = "image_id string, archive binary, n_members int"
+
+
+def _tile_to_path(tile_id: str) -> str:
+    return "/".join(tile_id) if tile_id else "root"
+
+
+def _path_to_tile(path: str) -> str:
+    return "" if path == "root" else path.replace("/", "")
+
+
+def write_archives(blocks: DataFrame, images_meta: DataFrame,
+                   cfg: EngineConfig = DEFAULT_CONFIG,
+                   skip_oob: bool = False) -> DataFrame:
+    """Leaf blocks → one zip archive per image.
+
+    ``images_meta``: (image_id, w, h). Exact duplicate blocks within an
+    image are stored once; later occurrences become pseudo-symlinks, like
+    the reference's imagePaths map (``quadtreeElement.go:249-261``).
+    """
+    quality = cfg.encoding.block_quality
+    leaves = (blocks.filter(F.col("is_leaf"))
+              .filter(~(F.lit(bool(skip_oob)) & F.col("oob")))
+              .select("image_id", "tile_id", "level", "block_px", "block_hash"))
+    joined = leaves.join(images_meta.select("image_id", "w", "h"), "image_id")
+
+    def build(pdf):
+        import numpy as np
+        import pandas as pd
+        from ..kernels.codecs import encode_lossy
+        from ..kernels.tiles import tree_height
+
+        image_id = pdf["image_id"].iloc[0]
+        w = int(pdf["w"].iloc[0]); h = int(pdf["h"].iloc[0])
+        buf = io.BytesIO()
+        seen: dict[int, str] = {}
+        pdf = pdf.sort_values("tile_id")
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            z.writestr("meta", f"{tree_height(w, h)}\n{w}\n{h}")
+            for tid, px, bh in zip(pdf["tile_id"], pdf["block_px"], pdf["block_hash"]):
+                path = _tile_to_path(tid)
+                if bh in seen:  # pseudo-symlink: body is the canonical path
+                    z.writestr(path, seen[bh])
+                else:
+                    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(8, 8, 3)
+                    z.writestr(path, encode_lossy(arr, quality))
+                    seen[bh] = path
+        return pd.DataFrame([{"image_id": image_id, "archive": buf.getvalue(),
+                              "n_members": len(pdf) + 1}])
+
+    return joined.groupBy("image_id").applyInPandas(build, ARCHIVES_SCHEMA)
+
+
+DECODED_SCHEMA = ("image_id string, tile_id string, block_px binary, "
+                  "is_symlink boolean, w int, h int, tree_height int")
+
+
+def read_archives(archives: DataFrame) -> DataFrame:
+    """Archives → block rows (the reference's decode-side file cache +
+    symlink-follow, ``archive.go:131-248`` / ``quadtreeElement.go:279-310``,
+    as a flat mapInPandas)."""
+
+    def parse(batches):
+        import pandas as pd
+        from ..kernels.codecs import decode_image, QJX_SIG, PNG_SIG, RAW_SIG
+
+        for pdf in batches:
+            out = []
+            for image_id, data in zip(pdf["image_id"], pdf["archive"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(data))) as z:
+                    members = {n: z.read(n) for n in z.namelist()}  # eager cache
+                meta = members.pop("meta").decode().split("\n")
+                if len(meta) != 3:
+                    raise ValueError(f"malformed meta in {image_id}")
+                th, w, h = (int(v) for v in meta)
+                for path, body in members.items():
+                    is_link = not (body[:4] in (QJX_SIG, RAW_SIG)
+                                   or body[:8] == PNG_SIG)
+                    if is_link:  # follow pseudo-symlink
+                        body = members[body.decode()]
+                    px = decode_image(body)
+                    out.append((image_id, _path_to_tile(path),
+                                px.astype("uint8").tobytes(), bool(is_link),
+                                w, h, th))
+            yield pd.DataFrame(out, columns=["image_id", "tile_id", "block_px",
+                                             "is_symlink", "w", "h", "tree_height"])
+
+    return archives.select("image_id", "archive").mapInPandas(parse, DECODED_SCHEMA)

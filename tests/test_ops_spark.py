@@ -1,0 +1,274 @@
+"""Tests for text dedup, ANN, archives, calibration, multimodal, streaming,
+pipeline/lineage layers."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and looked at the dog", "en"),
+        (1, "the cat sat on the mat and looked at the dog", "en"),      # exact dup of 0
+        (2, "the cat sat on the mat and looked at a dog", "en"),        # near dup of 0
+        (3, "der hund ist nicht ein kater und das ist gut", "de"),
+        (4, "le chat est un animal et la vie est belle pour les chats", "fr"),
+        (5, "completely different words entirely unrelated content here", "en"),
+        (6, "the dog sat on the mat and looked at the cat", "en"),      # near-ish
+        (7, "zzz qqq www eee rrr ttt yyy uuu iii ooo", "und"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+# --------------------------------------------------------------- text dedup -
+
+
+def test_dedup_exact_docs(docs):
+    from quadtree_block_compression_spark.operators.dedup_text import dedup_exact_docs
+    d = dedup_exact_docs(docs).collect()
+    by_id = {r.doc_id: r for r in d}
+    assert by_id[0].content_hash == by_id[1].content_hash
+    assert by_id[0].is_canonical and not by_id[1].is_canonical
+    assert by_id[1].canonical_doc_id == 0
+    assert by_id[0].group_size == 2 and by_id[5].group_size == 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    from quadtree_block_compression_spark.operators.dedup_text import ngram_jaccard_pairs
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert (0, 2) in pairs               # near dup shares most 3-grams
+    assert (0, 5) not in pairs
+
+
+def test_ngram_jaccard_max_df_cap(docs):
+    from quadtree_block_compression_spark.operators.dedup_text import ngram_jaccard_pairs
+    # cap at df<=1 drops every shared shingle → no pairs at all
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=1).count() == 0
+
+
+def test_minhash_lsh_finds_dups(docs):
+    from quadtree_block_compression_spark.operators.dedup_text import minhash_lsh_pairs
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4,
+                                        threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0          # identical minhash signatures collide
+    assert all(j >= 0.3 for j in pairs.values())
+
+
+def test_simhash_dup_distance(docs):
+    from quadtree_block_compression_spark.operators.dedup_text import simhash64, simhash_pairs
+    sigs = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert sigs[0] == sigs[1]            # identical docs → identical simhash
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_lang_id_and_quality(docs):
+    from quadtree_block_compression_spark.operators.text_analysis import lang_id, quality_score
+    langs = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert langs[0] == "en" and langs[3] == "de" and langs[4] == "fr"
+    assert langs[7] == "und"
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    assert q[7] <= q[0]  # stopword-free junk scores no higher
+
+
+# ---------------------------------------------------------------------- ann -
+
+
+def test_ann_bruteforce_correctness(spark):
+    from quadtree_block_compression_spark.operators.ann import cosine_topk_bruteforce
+    import pandas as pd
+    rng = np.random.default_rng(0)
+    V = rng.normal(size=(40, 8))
+    V[7] = V[3] * 2.0  # exactly colinear with 3 → cos 1.0
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.tolist() for v in V]}))
+    q = emb.where("vec_id = 3").select(F.col("vec_id").alias("q_id"),
+                                       F.col("embedding").alias("q_vec"))
+    top = cosine_topk_bruteforce(emb, q, k=3).collect()
+    assert top[0].vec_id == 7 and top[0].cos == 1.0 and top[0].rank == 1
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    from quadtree_block_compression_spark.operators.ann import (
+        cosine_topk_bruteforce, cosine_topk_lsh)
+    import pandas as pd
+    rng = np.random.default_rng(1)
+    V = rng.normal(size=(120, 16))
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(120), "embedding": [v.tolist() for v in V]}))
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"),
+                                       F.col("embedding").alias("q_vec"))
+    bf = {(r.q_id, r.vec_id) for r in cosine_topk_bruteforce(emb, q, k=3).collect()}
+    ls = {(r.q_id, r.vec_id) for r in
+          cosine_topk_lsh(emb, q, k=3, dim=16, num_planes=6).collect()}
+    # approximate: demand ≥ 40% overlap on random data (and sane shape)
+    assert len(ls & bf) >= int(0.4 * len(bf))
+
+
+# ----------------------------------------------------------------- archives -
+
+
+def test_archive_roundtrip(spark, tiny_images):
+    from quadtree_block_compression_spark.operators.tiling import assign_tiles
+    from quadtree_block_compression_spark.sources.archive import (
+        write_archives, read_archives)
+    blocks = assign_tiles(tiny_images.limit(6))
+    arch = write_archives(blocks, tiny_images).cache()
+    assert arch.count() == 6
+    back = read_archives(arch).cache()
+    # every leaf tile_id comes back
+    want = {(r.image_id, r.tile_id) for r in
+            blocks.filter("is_leaf").select("image_id", "tile_id").collect()}
+    got = {(r.image_id, r.tile_id) for r in back.select("image_id", "tile_id").collect()}
+    assert got == want
+    # lossy codec fidelity: q75 on arbitrary (incl. noise) blocks is ~20dB+,
+    # smooth/solid blocks are near-lossless (≥38dB) — same profile as JPEG q75
+    from quadtree_block_compression_spark.kernels.similarity import psnr
+    orig = {(r.image_id, r.tile_id): r.block_px
+            for r in blocks.filter("is_leaf").collect()}
+    smooth_ids = {r.image_id for r in tiny_images.limit(6).collect()
+                  if "solid" in r.caption or "gradient" in r.caption}
+    for r in back.limit(80).collect():
+        a = np.frombuffer(bytes(orig[(r.image_id, r.tile_id)]), np.uint8).reshape(8, 8, 3)
+        b = np.frombuffer(bytes(r.block_px), np.uint8).reshape(8, 8, 3)
+        p = psnr(a, b)
+        assert p >= 18.0, (r.image_id, r.tile_id, p)
+        if r.image_id in smooth_ids:
+            assert p >= 38.0, (r.image_id, r.tile_id, p)
+
+
+def test_archive_symlinks_dedup(spark):
+    from quadtree_block_compression_spark.operators.tiling import assign_tiles
+    from quadtree_block_compression_spark.sources.archive import (
+        write_archives, read_archives)
+    from quadtree_block_compression_spark.kernels.codecs import encode_png
+    import pandas as pd
+    # 64×64 image tiled from two noisy 8×8 patterns → guaranteed duplicate
+    # leaf blocks → pseudo-symlinks in the archive
+    rng = np.random.default_rng(3)
+    pool = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.int64).astype(np.uint8)
+    picks = rng.integers(0, 2, (8, 8))
+    img = pool[picks].transpose(0, 2, 1, 3, 4).reshape(64, 64, 3)
+    images = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "dup", "bytes": encode_png(img), "w": 64, "h": 64,
+        "fmt": "png", "caption": "dups", "phash": 0}]))
+    blocks = assign_tiles(images)
+    back = read_archives(write_archives(blocks, images))
+    assert back.filter("is_symlink").count() > 0
+    # symlink targets resolve to identical pixel bytes as their canonicals
+    pxs = {r.tile_id: bytes(r.block_px) for r in back.collect()}
+    assert len(set(pxs.values())) <= 2 + 1  # ≤2 patterns (+possible mixed edge)
+
+
+# -------------------------------------------------------------- calibration -
+
+
+def test_interpolator_matrix(spark, tiny_images):
+    from quadtree_block_compression_spark.operators.calibration import interpolator_matrix
+    one = tiny_images.limit(2)
+    m = interpolator_matrix(one).cache()
+    assert m.count() == 2 * 16
+    sims = {(r.down, r.up): r.similarity
+            for r in m.where(F.col("image_id") == "img_00000000").collect()}
+    # solid image: every pair round-trips perfectly (weight-sum 0.9999)
+    assert all(abs(v - 0.9999) < 1e-9 for v in sims.values())
+
+
+def test_block_size_extremes(spark, tiny_images):
+    from quadtree_block_compression_spark.operators.tiling import assign_tiles
+    from quadtree_block_compression_spark.operators.calibration import block_size_extremes
+    row = block_size_extremes(assign_tiles(tiny_images.limit(4))).collect()[0]
+    assert 0 < row.min_bytes <= row.max_bytes
+    assert row.min_block and row.max_block
+
+
+# --------------------------------------------------------------- multimodal -
+
+
+def test_audio_video_stubs(spark):
+    from quadtree_block_compression_spark.operators.multimodal import (
+        audio_decode_stub, video_frame_sample_stub, make_fake_audio, make_fake_video)
+    import pandas as pd
+    aud = spark.createDataFrame(pd.DataFrame(
+        {"clip_id": [1, 2], "bytes": [make_fake_audio(1), make_fake_audio(2)]}))
+    a = audio_decode_stub(aud).collect()
+    assert {r.clip_id for r in a} == {1, 2}
+    assert all(r.sample_rate == 16000 and r.n_samples == 1600 for r in a)
+
+    vid = spark.createDataFrame(pd.DataFrame(
+        {"video_id": [5], "bytes": [make_fake_video(5, nf=30)]}))
+    frames = video_frame_sample_stub(vid, every_n=10).collect()
+    assert [r.frame_idx for r in frames] == [0, 10, 20]
+
+    bad = spark.createDataFrame(pd.DataFrame({"clip_id": [9], "bytes": [b"RIFFxxxx"]}))
+    with pytest.raises(Exception, match="NotImplementedError|real audio"):
+        audio_decode_stub(bad).collect()
+
+
+# ---------------------------------------------------------------- streaming -
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from quadtree_block_compression_spark.streaming.windows import streaming_event_counts
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:05:00", "a", 1.0), ("2024-01-01 00:25:00", "a", 2.0),
+         ("2024-01-01 01:10:00", "b", 3.0)],
+        "ts_s string, event_type string, value double") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    ev.write.mode("overwrite").parquet(src_dir)
+    stream = (spark.readStream.schema(ev.schema).parquet(src_dir))
+    agg = streaming_event_counts(spark, stream, minutes=60)
+    q = (agg.writeStream.format("memory").queryName("wincounts")
+         .outputMode("complete").start())
+    q.processAllAvailable(); q.stop()
+    rows = {(str(r.win_start), r.event_type): r.n_events
+            for r in spark.sql("select * from wincounts").collect()}
+    assert rows[("2024-01-01 00:00:00", "a")] == 2
+    assert rows[("2024-01-01 01:00:00", "b")] == 1
+
+
+# ----------------------------------------------------- pipeline + lineage ---
+
+
+def test_staged_pipeline_resume(spark, tmp_path):
+    from quadtree_block_compression_spark.plans.pipeline import StagedPipeline
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumnRenamed("id", "x")
+
+    p = StagedPipeline(spark, str(tmp_path / "pipe"))
+    a = p.run_stage("s1", build, fingerprint="v1")
+    assert a.count() == 100 and calls["n"] == 1
+    # resume: same fingerprint → no rebuild
+    p2 = StagedPipeline(spark, str(tmp_path / "pipe"))
+    b = p2.run_stage("s1", build, fingerprint="v1")
+    assert b.count() == 100 and calls["n"] == 1
+    # invalidation: new fingerprint → rebuild
+    c = p2.run_stage("s1", build, fingerprint="v2")
+    assert calls["n"] == 2
+    # lineage rows recorded per partition
+    lin = p2.lineage()
+    assert lin.filter("stage = 's1'").agg(F.sum("rows_out")).collect()[0][0] >= 100
+
+
+def test_lineage_summary(spark):
+    from quadtree_block_compression_spark.plans.lineage import (
+        partition_lineage, lineage_summary)
+    df = spark.range(1000).repartition(4)
+    lin = partition_lineage(df, "stage_x")
+    summary = lineage_summary(lin).collect()[0]
+    assert summary.stage == "stage_x"
+    assert summary.rows_total == 1000
+    assert summary.n_partitions == 4
+    assert summary.skew_factor >= 1.0
