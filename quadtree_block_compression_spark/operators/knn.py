@@ -60,7 +60,7 @@ def _ring_cells(queries: DataFrame, ring: int, prev_ring: int) -> DataFrame:
 
 def knn_ring(points: DataFrame, queries: DataFrame,
              cfg: EngineConfig = DEFAULT_CONFIG, res: int | None = None,
-             max_ring: int = 8) -> DataFrame:
+             max_ring: int = 8, initial_ring: int | None = None) -> DataFrame:
     """kNN of each query point over block centroids.
 
     ``points``: cell-keyed centroids (image_id, tile_id, wx, wy, cell) —
@@ -80,10 +80,19 @@ def knn_ring(points: DataFrame, queries: DataFrame,
 
     pending = q
     gathered: DataFrame | None = None
-    # doubling radius schedule: log-many iterations instead of one per shell
-    radii = [0]
+    # density-aware initial radius: expect k candidates within a disk of
+    # radius √(k̄/(π·density)) cells, so most queries finish in ONE round —
+    # each extra round is a full Spark job, the dominant cost at small k
+    if initial_ring is None:
+        n_points = points.count()
+        density = max(n_points / float((1 << res) ** 2), 1e-9)
+        k_max = queries.agg(F.max("k")).collect()[0][0] or 1
+        initial_ring = int(min(max((k_max / (3.14159 * density)) ** 0.5 + 1, 1),
+                               max(max_ring, 1)))
+    # then 4× radius per round: log-many iterations instead of one per shell
+    radii = [initial_ring]
     while radii[-1] < max_ring:
-        radii.append(min(max(radii[-1] * 2, 1), max_ring))
+        radii.append(min(radii[-1] * 4, max_ring))
     prev = -1
     for ring in radii:
         if pending.isEmpty():
