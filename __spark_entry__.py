@@ -73,6 +73,41 @@ def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.withColumn("cell", cell_of("wx", "wy"))
 
 
+def _nation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CCW triangles from nation keys (oracle-replicable;
+    vertex offsets chosen so no test point ever lies exactly on an edge)."""
+    import numpy as np
+    import pandas as pd
+    from quadtree_block_compression_spark.kernels.geometry import polygon_cover
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey").collect()
+    rows = []
+    for r in nat:
+        n = int(r.n_nationkey)
+        ax = (n * 7121 + 103) % _W + 0.5
+        ay = (n * 9377 + 59) % _W + 0.5
+        bx, by = ax + 40000 + (n % 5) * 30000, ay + 5000 + (n % 3) * 5000
+        cx, cy = ax + 5000 + (n % 7) * 5000, ay + 60000 + (n % 3) * 25000
+        vx = np.array([ax, bx, cx]); vy = np.array([ay, by, cy])
+        rows.append({"geom_id": f"tri_{n:05d}", "kind": "convex",
+                     "vx": vx.tolist(), "vy": vy.tolist(),
+                     "cell_keys": polygon_cover(vx, vy, _RES).tolist(),
+                     "is_hot": False})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+_TRI_SQL = f"""
+  SELECT 'tri_' || lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS geom_id,
+         (CAST(n_nationkey AS BIGINT)*7121+103) % {_W} + 0.5 AS ax,
+         (CAST(n_nationkey AS BIGINT)*9377+59) % {_W} + 0.5 AS ay,
+         (CAST(n_nationkey AS BIGINT)*7121+103) % {_W} + 0.5 + 40000 + (n_nationkey % 5)*30000 AS bx,
+         (CAST(n_nationkey AS BIGINT)*9377+59) % {_W} + 0.5 + 5000 + (n_nationkey % 3)*5000 AS by,
+         (CAST(n_nationkey AS BIGINT)*7121+103) % {_W} + 0.5 + 5000 + (n_nationkey % 7)*5000 AS cx,
+         (CAST(n_nationkey AS BIGINT)*9377+59) % {_W} + 0.5 + 60000 + (n_nationkey % 3)*25000 AS cy
+  FROM nation
+"""
+
+
 def _nation_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic rect polygons from nation keys (oracle-replicable)."""
     import numpy as np
@@ -311,6 +346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = spatial_join.spatial_join_salted(pts, rects, hot_threshold=100, salt=4)
         return hits.select(F.col("image_id").alias("point_id"), "geom_id")
 
+    def spatial_join_triangles(spark, sf):
+        pts = _customer_points(spark, sf)
+        tris = _nation_triangles(spark, sf)
+        hits = spatial_join.spatial_join_broadcast(pts, tris)
+        return hits.select(F.col("image_id").alias("point_id"), "geom_id")
+
     def knn_points(spark, sf):
         import pandas as pd
         nat = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey").collect()
@@ -408,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign": cell_assign,
         "spatial_join_rects": spatial_join_rects,
         "spatial_join_salted_rects": spatial_join_salted_rects,
+        "spatial_join_triangles": spatial_join_triangles,
         "knn_points": knn_points,
         "quadtree_tile_assign": quadtree_tile_assign,
         "quadtree_roundtrip": quadtree_roundtrip,
@@ -672,6 +714,14 @@ def oracle_sql() -> dict[str, str]:
             FROM p, r
             WHERE p.px > r.cx - r.hw - 0.5 AND p.px < r.cx + r.hw + 0.5
               AND p.py > r.cy - r.hh - 0.5 AND p.py < r.cy + r.hh + 0.5
+        """,
+        "spatial_join_triangles": f"""
+            WITH p AS ({_POINT_SQL}), t AS ({_TRI_SQL})
+            SELECT p.point_id, t.geom_id
+            FROM p, t
+            WHERE (t.bx-t.ax)*(p.py-t.ay) - (t.by-t.ay)*(p.px-t.ax) > 0
+              AND (t.cx-t.bx)*(p.py-t.by) - (t.cy-t.by)*(p.px-t.bx) > 0
+              AND (t.ax-t.cx)*(p.py-t.cy) - (t.ay-t.cy)*(p.px-t.cx) > 0
         """,
         "knn_points": f"""
             WITH p AS ({_POINT_SQL}),

@@ -70,8 +70,60 @@ def tile_assign_run(spark, n_images: int, cores: int) -> tuple[float, int]:
     return time.time() - t0, blocks
 
 
+def tile_assign_output_hash(spark, n_images: int) -> int:
+    """Order-insensitive hash of the full tile-assignment output — the
+    identical-outputs-across-cluster-sizes evidence the north rule asks for."""
+    from pyspark.sql import functions as F
+    from quadtree_block_compression_spark.operators.tiling import assign_tiles
+    images = spark.read.parquet(_bench_images_path(spark, n_images))
+    out = assign_tiles(images)
+    row = out.select(F.xxhash64("image_id", "tile_id", "level", "x0", "y0",
+                                "x1", "y1", "is_leaf", "oob", "block_hash",
+                                "morton").alias("h")) \
+        .agg(F.expr("bit_xor(h)").alias("s"), F.count("*").alias("n")).collect()[0]
+    return int(row.s) ^ int(row.n)
+
+
+def _scale_worker(cores: int, n_scale: int) -> None:
+    """Subprocess body for one scaling measurement (run under taskset)."""
+    s = _session(cores)
+    tile_assign_run(s, 1024, cores)
+    times = []
+    for _ in range(2):
+        dt, nb = tile_assign_run(s, n_scale, cores)
+        times.append(dt)
+    dt = min(times)
+    out_hash = tile_assign_output_hash(s, n_scale)
+    s.stop()
+    print("SCALE_RESULT " + json.dumps(
+        {"seconds": round(dt, 3), "blocks": nb,
+         "blocks_per_sec": round(nb / dt, 1), "output_hash": out_hash}))
+
+
+def _run_scale_level(cores: int, n_scale: int) -> dict:
+    """Run one level in a CPU-pinned subprocess: local[N] must only see N
+    CPUs (as an N-core executor would), else JVM/GC/python threads spill
+    onto idle cores and inflate the small-N baseline."""
+    import shutil
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--scale-worker", str(cores), str(n_scale)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
+    for line in res.stdout.splitlines():
+        if line.startswith("SCALE_RESULT "):
+            return json.loads(line[len("SCALE_RESULT "):])
+    raise RuntimeError(f"scale worker failed: {res.stdout[-2000:]}\n{res.stderr[-2000:]}")
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
+
+    if "--scale-worker" in sys.argv:
+        i = sys.argv.index("--scale-worker")
+        _scale_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
 
     scaling = "--scaling" in sys.argv
     spark = _session(CPUS)
@@ -106,27 +158,21 @@ def main() -> None:
     }
 
     if scaling:
-        spark.stop()
+        # pre-materialize the workload parquet before forking pinned workers
+        _bench_images_path(spark, 1024)
         n_scale = int(os.environ.get("QBCS_SCALE_IMAGES", "36864"))
-        scale_report = {}
-        for cores in (8, 32):
-            s = _session(cores)
-            # warm-up JVM/python workers with a real run, then best-of-2 on a
-            # workload large enough (≥40s at N) that parallelism, not task
-            # overhead, dominates — the sandbox stand-in for N vs 4N executors
-            tile_assign_run(s, 1024, cores)
-            times = []
-            for _ in range(2):
-                dt, nb = tile_assign_run(s, n_scale, cores)
-                times.append(dt)
-            dt = min(times)
-            scale_report[cores] = {"seconds": round(dt, 3), "blocks": nb,
-                                   "blocks_per_sec": round(nb / dt, 1)}
-            s.stop()
+        _bench_images_path(spark, n_scale)
+        spark.stop()
+        scale_report = {cores: _run_scale_level(cores, n_scale)
+                        for cores in (8, 32)}
         eff = (scale_report[32]["blocks_per_sec"]
                / scale_report[8]["blocks_per_sec"]) / 4.0
-        result["scaling"] = {"local8": scale_report[8], "local32": scale_report[32],
-                             "efficiency_n_to_4n": round(eff, 3)}
+        result["scaling"] = {
+            "local8": scale_report[8], "local32": scale_report[32],
+            "efficiency_n_to_4n": round(eff, 3),
+            "outputs_identical": scale_report[8]["output_hash"]
+            == scale_report[32]["output_hash"],
+        }
 
     print(json.dumps(result))
 

@@ -26,19 +26,28 @@ def partition_lineage(df: DataFrame, stage: str,
     """
     size_expr = (F.sum(F.length(F.col(weigh_col))) if weigh_col
                  else F.lit(0)).alias("bytes_out")
-    return (df.withColumn("_pid", F.spark_partition_id())
-            .groupBy("_pid")
-            .agg(F.count("*").alias("rows_out"), size_expr)
-            .select(F.lit(stage).alias("stage"),
-                    F.col("_pid").alias("partition_id"),
-                    "rows_out",
-                    F.col("bytes_out").cast("long"),
-                    F.lit(time.time()).alias("t_unix")))
+    per_part = (df.withColumn("_pid", F.spark_partition_id())
+                .groupBy("_pid")
+                .agg(F.count("*").alias("rows_out"), size_expr)
+                .select(F.lit(stage).alias("stage"),
+                        F.col("_pid").alias("partition_id"),
+                        "rows_out",
+                        F.col("bytes_out").cast("long"),
+                        F.lit(time.time()).alias("t_unix")))
+    # stage-total row (partition_id = -1): present even for empty outputs,
+    # so a stage that produced nothing is still visible in the lineage log
+    total = (df.agg(F.count("*").alias("rows_out"))
+             .select(F.lit(stage).alias("stage"),
+                     F.lit(-1).alias("partition_id"),
+                     "rows_out",
+                     F.lit(0).cast("long").alias("bytes_out"),
+                     F.lit(time.time()).alias("t_unix")))
+    return per_part.unionByName(total)
 
 
 def lineage_summary(lineage: DataFrame) -> DataFrame:
     """Stage-level rollup: totals + skew factor (max/mean partition rows)."""
-    per_stage = (lineage.groupBy("stage")
+    per_stage = (lineage.filter(F.col("partition_id") >= 0).groupBy("stage")
                  .agg(F.count("*").alias("n_partitions"),
                       F.sum("rows_out").alias("rows_total"),
                       F.max("rows_out").alias("rows_max"),
