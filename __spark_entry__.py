@@ -419,6 +419,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_blocks"),
                      F.sum(F.col("is_symlink").cast("int")).alias("n_symlinks")))
 
+    def image_near_dup_phash(spark, sf):
+        from quadtree_block_compression_spark.operators.dedup_images import (
+            phash_near_dup_pairs)
+        import numpy as np
+        import pandas as pd
+        from quadtree_block_compression_spark.kernels.codecs import decode_image
+        from quadtree_block_compression_spark.kernels.phash import phash64
+        base = _fixture_images(spark, 16).toPandas()
+        # near-dups: an exact re-encode of row 0 (hamming 0) plus ±1-noise
+        # perturbations of the textured rows (noise/checker classes have
+        # stable pHashes under small perturbation; flat classes do not)
+        extra = [{"image_id": base.iloc[0]["image_id"] + "_copy",
+                  "phash": int(base.iloc[0]["phash"])}]
+        rng = np.random.default_rng(99)
+        for i in (2, 7, 11):  # checker_1, noise, checker_1 class rows
+            row = base.iloc[i]
+            img = decode_image(bytes(row["bytes"]))
+            pert = np.clip(img.astype(np.int16)
+                           + rng.integers(-1, 2, img.shape), 0, 255).astype(np.uint8)
+            extra.append({"image_id": row["image_id"] + "_v2",
+                          "phash": int(phash64(pert))})
+        pdf = pd.concat([base[["image_id", "phash"]], pd.DataFrame(extra)],
+                        ignore_index=True)
+        return phash_near_dup_pairs(spark.createDataFrame(pdf), max_hamming=10)
+
+    def block_size_extremes(spark, sf):
+        from quadtree_block_compression_spark.operators.calibration import (
+            block_size_extremes as extremes)
+        images = _fixture_images(spark, 16)
+        return extremes(tiling.assign_tiles(images))
+
     def lineage_rollup(spark, sf):
         from quadtree_block_compression_spark.plans.lineage import (
             partition_lineage, lineage_summary)
@@ -458,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": image_features,
         "interpolator_matrix": interpolator_matrix,
         "archive_roundtrip": archive_roundtrip,
+        "block_size_extremes": block_size_extremes,
+        "image_near_dup_phash": image_near_dup_phash,
         "lineage_rollup": lineage_rollup,
     }
 

@@ -125,7 +125,10 @@ def main() -> None:
         _scale_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
         return
 
-    scaling = "--scaling" in sys.argv
+    # scaling evidence is part of the default run (disable with --no-scaling
+    # or QBCS_NO_SCALING=1 for quick iterations)
+    scaling = ("--no-scaling" not in sys.argv
+               and not os.environ.get("QBCS_NO_SCALING"))
     spark = _session(CPUS)
     qs = entrymod.queries()
 

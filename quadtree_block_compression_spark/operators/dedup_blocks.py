@@ -58,7 +58,7 @@ def dedup_group_counts(blocks: DataFrame) -> DataFrame:
 
 
 def near_dedup(blocks: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
-               bands: int = 4) -> DataFrame:
+               bands: int = 4, max_bucket: int | None = 10_000) -> DataFrame:
     """Near-duplicate candidate pairs with verified similarity.
 
     Returns ``(image_id, tile_id, dup_image_id, dup_tile_id, similarity)``
@@ -66,6 +66,11 @@ def near_dedup(blocks: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     block, deterministic tie-break. Banding keys are computed in one
     vectorized UDF (Arrow in/out); candidate pairing and argmax election are
     pure DataFrame joins/windows.
+
+    ``max_bucket`` caps band-bucket size: a degenerate bucket of d blocks
+    (e.g. all-black tiles at 10^12 scale) contributes d²/2 candidate pairs —
+    dropped buckets are the exact-duplicate crowd the *exact* tier already
+    handles by hash, so near-dedup loses nothing of value.
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -90,6 +95,10 @@ def near_dedup(blocks: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     min_sim = cfg.encoding.dedup_minimal_similarity
     sig = (blocks.select("image_id", "tile_id", "block_hash", "block_px")
            .withColumn("band", F.explode(band_keys("block_px"))))
+    if max_bucket is not None:
+        sizes = sig.groupBy("band").agg(F.count("*").alias("_bn"))
+        sig = (sig.join(sizes.where(F.col("_bn") <= max_bucket).select("band"),
+                        "band"))
 
     left = sig.select(F.col("image_id").alias("a_img"), F.col("tile_id").alias("a_tile"),
                       F.col("block_px").alias("a_px"), "band", F.col("block_hash").alias("a_hash"))
