@@ -129,6 +129,7 @@ def main() -> None:
     # or QBCS_NO_SCALING=1 for quick iterations)
     scaling = ("--no-scaling" not in sys.argv
                and not os.environ.get("QBCS_NO_SCALING"))
+    t_start = time.time()
     spark = _session(CPUS)
     qs = entrymod.queries()
 
@@ -160,22 +161,31 @@ def main() -> None:
         "blocks_per_sec": blocks_per_sec,
     }
 
+    # skip the scaling phase if the query sweep already ate the time budget
+    # (protects the JSON line from an external timeout on slow machines)
+    budget = float(os.environ.get("QBCS_BENCH_BUDGET_SEC", "400"))
+    if scaling and (time.time() - t_start) > budget:
+        result["scaling"] = {"skipped": f"query sweep exceeded {budget}s budget"}
+        scaling = False
     if scaling:
-        # pre-materialize the workload parquet before forking pinned workers
-        _bench_images_path(spark, 1024)
-        n_scale = int(os.environ.get("QBCS_SCALE_IMAGES", "36864"))
-        _bench_images_path(spark, n_scale)
-        spark.stop()
-        scale_report = {cores: _run_scale_level(cores, n_scale)
-                        for cores in (8, 32)}
-        eff = (scale_report[32]["blocks_per_sec"]
-               / scale_report[8]["blocks_per_sec"]) / 4.0
-        result["scaling"] = {
-            "local8": scale_report[8], "local32": scale_report[32],
-            "efficiency_n_to_4n": round(eff, 3),
-            "outputs_identical": scale_report[8]["output_hash"]
-            == scale_report[32]["output_hash"],
-        }
+        try:
+            # pre-materialize the workload parquet before forking pinned workers
+            _bench_images_path(spark, 1024)
+            n_scale = int(os.environ.get("QBCS_SCALE_IMAGES", "36864"))
+            _bench_images_path(spark, n_scale)
+            spark.stop()
+            scale_report = {cores: _run_scale_level(cores, n_scale)
+                            for cores in (8, 32)}
+            eff = (scale_report[32]["blocks_per_sec"]
+                   / scale_report[8]["blocks_per_sec"]) / 4.0
+            result["scaling"] = {
+                "local8": scale_report[8], "local32": scale_report[32],
+                "efficiency_n_to_4n": round(eff, 3),
+                "outputs_identical": scale_report[8]["output_hash"]
+                == scale_report[32]["output_hash"],
+            }
+        except Exception as e:  # never lose the JSON line to a scaling hiccup
+            result["scaling"] = {"error": str(e)[:500]}
 
     print(json.dumps(result))
 
