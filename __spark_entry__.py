@@ -249,6 +249,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
                         "n_events", "sum_value")
 
+    def events_json_stats(spark, sf):
+        (ev,) = _tables(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return (ev.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum(k).alias("sum_k"),
+                     F.min(k).alias("min_k"),
+                     F.max(k).alias("max_k"))
+                .orderBy("event_type"))
+
     # ---------------- text / training-data ops ----------------------------
 
     def dedup_exact_docs(spark, sf):
@@ -464,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_tumbling": events_tumbling,
         "events_sessionize": events_sessionize,
+        "events_json_stats": events_json_stats,
         "dedup_exact_docs": dedup_exact_docs,
         "fingerprint_docs": fingerprint_docs,
         "token_counts": token_counts,
@@ -563,6 +574,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM sess GROUP BY user_id, session_id
+        """,
+        "events_json_stats": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "dedup_exact_docs": f"""
             SELECT doc_id, {h64('text')} AS content_hash,
