@@ -27,13 +27,13 @@ SF = SF_DIR.rstrip("/").split("sf")[-1]
 
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_revenue_by_order", "topk_orders_per_customer",
-    "events_tumbling", "events_sessionize",
+    "events_tumbling", "events_sessionize", "events_json_stats",
     "dedup_exact_docs", "fingerprint_docs", "token_counts", "text_quality",
     "lang_id", "ngram_jaccard", "minhash_signatures", "minhash_lsh_pairs",
     "simhash_docs", "simhash_pairs",
     "ann_topk", "ann_lsh_topk", "embedding_near_dup",
     "cell_assign", "spatial_join_rects", "spatial_join_salted_rects",
-    "knn_points",
+    "spatial_join_triangles", "knn_points",
 ]
 
 
