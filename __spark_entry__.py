@@ -227,6 +227,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("revenue"))
                 .orderBy(F.desc("revenue"), "o_orderkey").limit(10))
 
+    def q5_local_supplier_volume(spark, sf):
+        # TPC-H Q5 shape: 5-way join (region⋈nation⋈customer⋈orders⋈lineitem
+        # ⋈supplier with colocation predicate), agg, sort — exercises join
+        # reordering + broadcast selection end to end
+        region, nation, cust, orders, li, supp = _tables(
+            spark, sf, "region", "nation", "customer", "orders", "lineitem", "supplier")
+        return (region.where(F.col("r_name") == "ASIA")
+                .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+                .join(cust, F.col("c_nationkey") == F.col("n_nationkey"))
+                .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+                .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+                .groupBy("n_name")
+                .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue"))
+                .orderBy(F.desc("revenue"), "n_name"))
+
+    def events_rollup(spark, sf):
+        (ev,) = _tables(spark, sf, "events")
+        day = F.date_format("ts", "yyyy-MM-dd")
+        return (ev.rollup(day.alias("day"), "event_type")
+                .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+                .select(F.coalesce("day", F.lit("ALL")).alias("day"),
+                        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                        "n", "sum_value"))
+
     def topk_orders_per_customer(spark, sf):
         from pyspark.sql import Window
         (orders,) = _tables(spark, sf, "orders")
@@ -471,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_by_order": q3_revenue_by_order,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "events_rollup": events_rollup,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_tumbling": events_tumbling,
         "events_sessionize": events_sessionize,
@@ -544,6 +572,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "events_rollup": """
+            SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)
         """,
         "topk_orders_per_customer": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
