@@ -253,6 +253,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
                         "n", "sum_value"))
 
+    def q6_forecast_revenue(spark, sf):
+        (li,) = _tables(spark, sf, "lineitem")
+        return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                         & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                         & (F.col("l_discount").between(0.03, 0.07))
+                         & (F.col("l_quantity") < 24))
+                .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                     .alias("revenue"),
+                     F.count("*").alias("n_items")))
+
     def topk_orders_per_customer(spark, sf):
         from pyspark.sql import Window
         (orders,) = _tables(spark, sf, "orders")
@@ -498,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_by_order": q3_revenue_by_order,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "events_rollup": events_rollup,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_tumbling": events_tumbling,
@@ -592,6 +603,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events
             GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
         """,
         "topk_orders_per_customer": """
             SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
