@@ -26,8 +26,9 @@ N_BENCH_IMAGES = int(os.environ.get("QBCS_BENCH_IMAGES", "192"))
 SF = SF_DIR.rstrip("/").split("sf")[-1]
 
 BENCH_QUERIES = [
-    "q1_pricing_summary", "q3_revenue_by_order", "topk_orders_per_customer",
-    "events_tumbling", "events_sessionize", "events_json_stats",
+    "q1_pricing_summary", "q3_revenue_by_order", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "topk_orders_per_customer",
+    "events_tumbling", "events_sessionize", "events_json_stats", "events_rollup",
     "dedup_exact_docs", "fingerprint_docs", "token_counts", "text_quality",
     "lang_id", "ngram_jaccard", "minhash_signatures", "minhash_lsh_pairs",
     "simhash_docs", "simhash_pairs",
