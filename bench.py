@@ -185,6 +185,9 @@ def main() -> None:
                 "outputs_identical": scale_report[8]["output_hash"]
                 == scale_report[32]["output_hash"],
             }
+            # headline throughput at full load (the 192-image sweep number
+            # above is a small-batch sanity figure, not the capability)
+            result["blocks_per_sec_full_load"] = scale_report[32]["blocks_per_sec"]
         except Exception as e:  # never lose the JSON line to a scaling hiccup
             result["scaling"] = {"error": str(e)[:500]}
 
