@@ -355,6 +355,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")))
         return ann.cosine_topk_lsh(emb, q, k=5, dim=64, num_planes=8)
 
+    def ann_ivf_topk(spark, sf):
+        (emb,) = _tables(spark, sf, "embeddings")
+        q = (emb.where(F.col("vec_id") < 10)
+             .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")))
+        return ann.cosine_topk_ivf(emb, q, k=5, n_clusters=16, nprobe=6, iters=3)
+
     def embedding_near_dup(spark, sf):
         (emb,) = _tables(spark, sf, "embeddings")
         # brute-force tier (oracle-checkable); the LSH tier is ann_lsh_topk.
@@ -526,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": simhash_pairs,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embedding_near_dup": embedding_near_dup,
         "cell_assign": cell_assign,
         "spatial_join_rects": spatial_join_rects,

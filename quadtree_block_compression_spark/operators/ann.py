@@ -128,6 +128,102 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
             .select("q_id", F.col(id_col), "cos", "rank"))
 
 
+def ivf_build(emb: DataFrame, k: int = 16, iters: int = 5,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Deterministic IVF coarse quantizer: Lloyd's k-means with fixed seeds.
+
+    Centroid math happens driver-side (k×dim is tiny); the expensive
+    assignment step is one Arrow UDF pass over the table per iteration.
+    Returns ``(assignments_df(id, cluster), centroids ndarray (k, dim))``.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # deterministic init: the k lowest-id vectors
+    seed_rows = (emb.orderBy(id_col).limit(k)
+                 .select(vec_col).collect())
+    centroids = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+
+    for _ in range(iters):
+        cen = centroids  # capture by value for the closure
+
+        @pandas_udf("int")
+        def assign(v):  # type: ignore[misc]
+            import pandas as pd
+            M = np.stack(v.to_numpy())
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(Mn @ cen.T, axis=1).astype("int32"))
+
+        assigned = e.withColumn("cluster", assign("v"))
+        # new centroids: per-cluster per-dim mean (posexplode + two-level agg)
+        sums = (assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cluster", "pos").agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect())
+        new = centroids.copy()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.s / r.n
+        for c, dims in by_cluster.items():
+            for p, val in dims.items():
+                new[c, p] = val
+        norms = np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        centroids = new / norms
+
+    cen_final = centroids
+
+    from pyspark.sql.pandas.functions import pandas_udf as _pudf
+
+    @_pudf("int")
+    def assign_final(v):  # type: ignore[misc]
+        import pandas as pd
+        M = np.stack(v.to_numpy())
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Mn @ cen_final.T, axis=1).astype("int32"))
+
+    return e.withColumn("cluster", assign_final("v")), centroids
+
+
+def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    n_clusters: int = 16, nprobe: int = 4, iters: int = 3,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest coarse clusters,
+    exact cosine + window top-k over just those inverted lists. At 10^12
+    scale the index side is partitioned by ``cluster`` so a probe reads only
+    its lists (partition pruning on the cluster column)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    assigned, centroids = ivf_build(emb, k=n_clusters, iters=iters,
+                                    vec_col=vec_col, id_col=id_col)
+    cen = centroids
+
+    @pandas_udf("array<int>")
+    def probes(qv):  # type: ignore[misc]
+        import pandas as pd
+        M = np.stack(qv.to_numpy())
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(Mn @ cen.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = (queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col(q_vec_col).cast("array<double>").alias("qv"))
+         .withColumn("cluster", F.explode(probes("qv"))))
+
+    cand = (assigned.join(broadcast(q), "cluster")
+            .where(F.col(id_col) != F.col("q_id"))
+            .withColumn("cos", F.round(_dot(F.col("v"), F.col("qv"))
+                                       / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (cand.dropDuplicates([id_col, "q_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", F.col(id_col), "cos", "rank"))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int = 64,
                              num_planes: int = 8, vec_col: str = "embedding",
                              id_col: str = "vec_id") -> DataFrame:

@@ -272,3 +272,20 @@ def test_lineage_summary(spark):
     assert summary.rows_total == 1000
     assert summary.n_partitions == 4
     assert summary.skew_factor >= 1.0
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from quadtree_block_compression_spark.operators.ann import (
+        cosine_topk_bruteforce, cosine_topk_ivf)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"),
+                                       F.col("embedding").alias("q_vec"))
+    bf = {(r.q_id, r.vec_id) for r in cosine_topk_bruteforce(emb, q, k=5).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in
+           cosine_topk_ivf(emb, q, k=5, n_clusters=8, nprobe=4, iters=2).collect()}
+    # random embeddings are the adversarial case; demand >= 60% recall
+    assert len(bf & ivf) >= int(0.6 * len(bf))
+    # deterministic: same call → same result
+    ivf2 = {(r.q_id, r.vec_id) for r in
+            cosine_topk_ivf(emb, q, k=5, n_clusters=8, nprobe=4, iters=2).collect()}
+    assert ivf == ivf2
