@@ -1,0 +1,74 @@
+"""Tile range queries over the Morton-ordered blocks table.
+
+A spatial window query ("all level-L tiles intersecting rect R") is the
+read-path payoff of the Morton layout chosen in ``tiling.write_blocks``:
+the window decomposes into a handful of contiguous Morton ranges, each of
+which becomes a ``morton BETWEEN lo AND hi`` predicate that parquet row-group
+min/max statistics prune *without reading data*. The window-to-ranges
+decomposition happens driver-side on tile indices (tiny); the scan predicate
+is pure Catalyst.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import BLOCK_SIZE
+from ..kernels.tiles import morton_key
+
+
+def _tiles_overlapping(x0: float, y0: float, x1: float, y1: float,
+                       level: int, side: int) -> np.ndarray:
+    """Morton keys of all level-``level`` tiles of a ``side``-px padded
+    canvas that intersect the half-open rect [x0,x1)×[y0,y1)."""
+    n = 1 << level
+    tile = side / n
+    ix0 = max(int(np.floor(x0 / tile)), 0)
+    iy0 = max(int(np.floor(y0 / tile)), 0)
+    ix1 = min(int(np.ceil(x1 / tile)), n)
+    iy1 = min(int(np.ceil(y1 / tile)), n)
+    keys = []
+    for iy in range(iy0, iy1):
+        for ix in range(ix0, ix1):
+            # tile path digits MSB-first: digit = (ybit<<1)|xbit per level
+            key = 0
+            for b in range(level - 1, -1, -1):
+                key = key * 4 + (((iy >> b) & 1) << 1 | ((ix >> b) & 1))
+            keys.append(key)
+    return np.array(sorted(keys), dtype=np.int64)
+
+
+def _to_ranges(keys: np.ndarray) -> list[tuple[int, int]]:
+    """Collapse sorted keys into contiguous [lo, hi] runs."""
+    if len(keys) == 0:
+        return []
+    ranges = []
+    lo = prev = int(keys[0])
+    for k in keys[1:]:
+        k = int(k)
+        if k == prev + 1:
+            prev = k
+        else:
+            ranges.append((lo, prev))
+            lo = prev = k
+    ranges.append((lo, prev))
+    return ranges
+
+
+def tile_range_scan(blocks: DataFrame, x0: float, y0: float, x1: float,
+                    y1: float, level: int, side: int) -> DataFrame:
+    """Blocks of ``level`` whose tiles intersect the window, selected by
+    Morton-range predicates (row-group prunable) + exact bounds verify."""
+    ranges = _to_ranges(_tiles_overlapping(x0, y0, x1, y1, level, side))
+    if not ranges:
+        return blocks.limit(0)
+    pred = None
+    for lo, hi in ranges:
+        p = (F.col("morton") >= lo) & (F.col("morton") <= hi)
+        pred = p if pred is None else (pred | p)
+    return (blocks.filter(F.col("level") == level).filter(pred)
+            # exact verify (strict-overlap semantics, cf. RectanglesCollide)
+            .filter((F.col("x0") < x1) & (F.col("x1") > x0)
+                    & (F.col("y0") < y1) & (F.col("y1") > y0)))
