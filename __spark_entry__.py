@@ -502,6 +502,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         images = _fixture_images(spark, 16)
         return extremes(tiling.assign_tiles(images))
 
+    def tile_range_query(spark, sf):
+        from quadtree_block_compression_spark.operators.tile_range import tile_range_scan
+        images = _fixture_images(spark, 16)
+        blocks = tiling.assign_tiles(images)
+        # window over each padded canvas's upper-left quadrant at level 2
+        return (tile_range_scan(blocks, 0, 0, 32, 32, level=2, side=64)
+                .select("image_id", "tile_id", "x0", "y0", "x1", "y1", "morton"))
+
     def lineage_rollup(spark, sf):
         from quadtree_block_compression_spark.plans.lineage import (
             partition_lineage, lineage_summary)
@@ -548,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_roundtrip": archive_roundtrip,
         "block_size_extremes": block_size_extremes,
         "image_near_dup_phash": image_near_dup_phash,
+        "tile_range_query": tile_range_query,
         "lineage_rollup": lineage_rollup,
     }
 
