@@ -90,10 +90,10 @@ def _scale_worker(cores: int, n_scale: int) -> None:
     s = _session(cores)
     tile_assign_run(s, 1024, cores)
     times = []
-    for _ in range(2):
+    for _ in range(3):
         dt, nb = tile_assign_run(s, n_scale, cores)
         times.append(dt)
-    dt = min(times)
+    dt = sorted(times)[1]  # median-of-3: the box shows shared-VM jitter
     out_hash = tile_assign_output_hash(s, n_scale)
     s.stop()
     print("SCALE_RESULT " + json.dumps(
