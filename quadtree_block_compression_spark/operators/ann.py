@@ -62,8 +62,6 @@ def _hyperplane_sign_cols(vec_col: str, dim: int, num_planes: int):
     """Deterministic ±1 hyperplanes: sign of portable-hash parity per
     (plane, dim). sign bit = bit0 of hash64(f'{plane}:{dim}') — identical in
     the SQL oracle. Returns one 0/1 sign column per plane (JVM-only)."""
-    from ..functions.portable_hash import _perm_constants  # seeded constants
-
     # Precompute ±1 matrices driver-side (tiny), embed as array literals —
     # stays fully JVM-side and reproducible from the same constants in SQL.
     import hashlib

@@ -15,7 +15,7 @@ fake ('QAUD'/'QVID' headers) so the Spark plumbing is exercised end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 AUD_SIG = b"QAUD"  # fake deterministic audio container: header + f32 samples
 VID_SIG = b"QVID"  # fake deterministic video container: header + raw frames

@@ -15,10 +15,6 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
-from .. import BLOCK_SIZE
-from ..kernels.tiles import morton_key
-
-
 def _tiles_overlapping(x0: float, y0: float, x1: float, y1: float,
                        level: int, side: int) -> np.ndarray:
     """Morton keys of all level-``level`` tiles of a ``side``-px padded

@@ -24,7 +24,6 @@ Format notes:
 from __future__ import annotations
 
 import io
-import struct
 import zipfile
 
 from pyspark.sql import DataFrame, functions as F

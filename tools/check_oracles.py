@@ -92,7 +92,6 @@ def main(selected: list[str]) -> int:
         print(f"{status:5} {name}: rows={len(rows)}/{len(orows)} cols={'=' if ok_cols else f'{sorted(cols)} vs {sorted(ocols)}'} hash={'=' if ok_hash else 'MISMATCH'} [{dt:.1f}s]")
         if not ok_hash and ok_cols and ok_count and len(rows) < 10000:
             # show first few differing lines
-            import itertools
             sset = {}
             for row in rows:
                 d = row.asDict()

@@ -24,8 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import functions as F
-
 from quadtree_block_compression_spark.session import build_session
 from quadtree_block_compression_spark.kernels.geometry import WORLD, cell_encode, polygon_cover
 from quadtree_block_compression_spark.operators.spatial_join import (
