@@ -502,6 +502,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         images = _fixture_images(spark, 16)
         return extremes(tiling.assign_tiles(images))
 
+    def corpus_clean(spark, sf):
+        """End-to-end corpus cleaning as ONE oracle-verified plan:
+        fingerprint dedup -> minhash-LSH near-dedup drop -> quality filter."""
+        from pyspark.sql import Window
+        (docs,) = _tables(spark, sf, "documents")
+        ann = (docs.join(text_analysis.fingerprint(docs), "doc_id")
+               .join(text_analysis.quality_score(docs), "doc_id")
+               .join(text_analysis.lang_id(docs), "doc_id"))
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        exact = (ann.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        pairs = dedup_text.minhash_lsh_pairs(exact, n=_NGRAM_N, num_perm=_NUM_PERM,
+                                             bands=_BANDS, threshold=0.5)
+        drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        clean = exact.join(drops, "doc_id", "left_anti")
+        return (clean.filter(F.col("quality") >= 0.5)
+                .select("doc_id", "fingerprint", "quality", "lang_pred"))
+
     def tile_range_query(spark, sf):
         from quadtree_block_compression_spark.operators.tile_range import tile_range_scan
         images = _fixture_images(spark, 16)
@@ -530,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": events_json_stats,
         "dedup_exact_docs": dedup_exact_docs,
         "fingerprint_docs": fingerprint_docs,
+        "corpus_clean": corpus_clean,
         "token_counts": token_counts,
         "text_quality": text_quality,
         "lang_id": lang_id,
@@ -680,6 +699,82 @@ def oracle_sql() -> dict[str, str]:
                                          '\\s+', ' ', 'g')) AS n
               FROM documents)
             SELECT doc_id, {h64('n')} AS fingerprint, length(n) AS norm_len FROM norm
+        """,
+        "corpus_clean": f"""
+            WITH norm AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                         '\s+', ' ', 'g')) AS n
+              FROM documents),
+            ann AS (
+              SELECT doc_id, text, {portable_hash64_sql('n')} AS fingerprint FROM norm),
+            exact AS (
+              SELECT * FROM (
+                SELECT doc_id, text, fingerprint,
+                       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                FROM ann) WHERE rn = 1),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(arr) - {_NGRAM_N} + 1, 0) + 1),
+                              i -> array_to_string(arr[i:i + {_NGRAM_N - 1}], ' '))) AS shingle
+                FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM exact)
+              ) WHERE length(shingle) > 0),
+            hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh),
+            sig AS (SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id),
+            bucketed AS (
+              SELECT DISTINCT doc_id, band, key FROM (
+                SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bucketed a JOIN bucketed b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            drops AS (
+              SELECT DISTINCT doc_b AS doc_id FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i / (sa.sz + sb.sz - i) >= 0.5),
+            kept AS (
+              SELECT e.doc_id, e.text, e.fingerprint FROM exact e
+              LEFT JOIN drops d ON e.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+            quality AS (
+              SELECT doc_id,
+                CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.3 END
+                * CASE WHEN length(regexp_replace(text, '[^\.,;:!\?''\"]', '', 'g'))
+                            / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END
+                * CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        w -> list_contains(['the','a','and','of','to','in','is','that','for','it'], w)))
+                        / greatest(len(regexp_split_to_array(text, '\s+')), 1) >= 0.05
+                       THEN 1.0 ELSE 0.6 END AS q
+              FROM kept),
+            langs AS (
+              SELECT k.doc_id,
+                CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+                     WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+                     WHEN s_en >= s_fr THEN 'en' ELSE 'fr' END AS lang_pred
+              FROM (
+                SELECT doc_id,
+                  round(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], x))) / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1), 6) AS s_de,
+                  round(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains(['the','a','and','of','to','in','is','that','for','it'], x))) / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1), 6) AS s_en,
+                  round(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains(['le','la','les','et','est','un','une','pas','pour','que'], x))) / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1), 6) AS s_fr
+                FROM kept) k)
+            SELECT k.doc_id, k.fingerprint, CAST(round(q.q, 6) AS DOUBLE) AS quality, l.lang_pred
+            FROM kept k JOIN quality q ON k.doc_id = q.doc_id
+            JOIN langs l ON k.doc_id = l.doc_id
+            WHERE q.q >= 0.5
         """,
         "token_counts": r"""
             SELECT doc_id,

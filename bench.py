@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "events_tumbling", "events_sessionize", "events_json_stats", "events_rollup",
     "dedup_exact_docs", "fingerprint_docs", "token_counts", "text_quality",
     "lang_id", "ngram_jaccard", "minhash_signatures", "minhash_lsh_pairs",
-    "simhash_docs", "simhash_pairs",
+    "simhash_docs", "simhash_pairs", "corpus_clean",
     "ann_topk", "ann_lsh_topk", "embedding_near_dup",
     "cell_assign", "spatial_join_rects", "spatial_join_salted_rects",
     "spatial_join_triangles", "knn_points",
