@@ -49,9 +49,15 @@ def word_shingles(docs: DataFrame, n: int, text_col: str = "text",
     """Distinct word n-gram shingles per doc, built with JVM functions only:
     split → slice windows via transform/sequence → concat — no Python."""
     toks = F.split(F.col(text_col), r"\s+")
-    # positions 0 .. len-n
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # positions 0 .. len-n; docs shorter than n tokens yield no shingles
+    # (sequence(0, negative) would count DOWN and slice() would throw, so the
+    # transform is guarded — CaseWhen evaluates the then-branch per row only
+    # when the predicate holds)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
     return (docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
             .where(F.length("shingle") > 0)
             .distinct())

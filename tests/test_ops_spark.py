@@ -51,6 +51,23 @@ def test_ngram_jaccard_max_df_cap(docs):
     assert ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=1).count() == 0
 
 
+def test_shingles_short_docs_no_crash(spark):
+    """Docs with fewer than n tokens (incl. empty/whitespace-only) must yield
+    zero shingles, not a slice() error — real corpora are full of them."""
+    from quadtree_block_compression_spark.operators.dedup_text import (
+        minhash_signatures, ngram_jaccard_pairs, word_shingles)
+    rows = [(0, "one two"), (1, "one"), (2, ""), (3, "   "),
+            (4, "exactly three tokens"), (5, "one two three four")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = word_shingles(docs, n=3)
+    got = {(r.doc_id, r.shingle) for r in sh.collect()}
+    assert got == {(4, "exactly three tokens"), (5, "one two three"),
+                   (5, "two three four")}
+    # downstream operators survive the same corpus
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.01).count() == 0
+    assert minhash_signatures(docs, n=3, num_perm=8).count() == 2
+
+
 def test_minhash_lsh_finds_dups(docs):
     from quadtree_block_compression_spark.operators.dedup_text import minhash_lsh_pairs
     pairs = {(r.doc_a, r.doc_b): r.jaccard
