@@ -247,11 +247,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_rollup(spark, sf):
         (ev,) = _tables(spark, sf, "events")
         day = F.date_format("ts", "yyyy-MM-dd")
+        # exact integer micro-unit sum: floor(value*1e6) is the same IEEE op
+        # on both engines and BIGINT summation is order-independent (a
+        # round(sum(double), 6) can flip its last digit between engines)
+        micros = F.sum(F.floor(F.col("value") * 1000000.0).cast("long"))
         return (ev.rollup(day.alias("day"), "event_type")
-                .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+                .agg(F.count("*").alias("n"), micros.alias("sum_value_micros"))
                 .select(F.coalesce("day", F.lit("ALL")).alias("day"),
                         F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-                        "n", "sum_value"))
+                        "n", "sum_value_micros"))
 
     def q6_forecast_revenue(spark, sf):
         (li,) = _tables(spark, sf, "lineitem")
@@ -276,18 +280,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (ev,) = _tables(spark, sf, "events")
         return (stream_windows.tumbling_event_counts(ev, minutes=60)
                 .select(F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
-                        "event_type", "n_events", "sum_value"))
+                        "event_type", "n_events", "sum_value_micros"))
 
     def events_sessionize(spark, sf):
         (ev,) = _tables(spark, sf, "events")
         s = stream_windows.session_windows(ev, gap_minutes=30)
         return s.select("user_id", "session_id",
                         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-                        "n_events", "sum_value")
+                        "n_events", "sum_value_micros")
 
     def events_json_stats(spark, sf):
         (ev,) = _tables(spark, sf, "events")
-        k = F.get_json_object("props", "$.k").cast("int")
+        # one explicit integer-parse semantic shared with the oracle: only a
+        # pure decimal-integer string counts; anything else (missing key,
+        # '3.7', quoted junk) is NULL on both engines — never an ANSI throw
+        # on Spark or a round-to-int on DuckDB
+        ks = F.get_json_object("props", "$.k")
+        k = F.when(ks.rlike(r"^-?[0-9]+$"), ks).cast("long")
         return (ev.groupBy("event_type")
                 .agg(F.count("*").alias("n"),
                      F.sum(k).alias("sum_k"),
@@ -635,7 +644,9 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": """
             SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
                    coalesce(event_type, 'ALL') AS event_type,
-                   count(*) AS n, round(sum(value), 6) AS sum_value
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                     AS sum_value_micros
             FROM events
             GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), event_type)
         """,
@@ -658,7 +669,8 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
                    event_type, count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                     AS sum_value_micros
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
@@ -669,21 +681,35 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_s
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), sess AS (
+              -- window sum(INT) is HUGEINT in DuckDB (surfaces as float64
+              -- through pandas); Spark's is BIGINT — cast to match
               SELECT user_id, ts, value,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_id
               FROM marked)
             SELECT user_id, session_id,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                     AS sum_value_micros
             FROM sess GROUP BY user_id, session_id
         """,
         "events_json_stats": """
+            -- sums of BIGINT are HUGEINT in DuckDB (float64 via pandas):
+            -- CAST back to BIGINT so the driver sees int64 on both engines
+            WITH kk AS (
+              SELECT event_type,
+                     CASE WHEN regexp_matches(
+                              coalesce(json_extract_string(props, '$.k'), ''),
+                              '^-?[0-9]+$')
+                          THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     END AS k
+              FROM events)
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
-                   min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-                   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-            FROM events GROUP BY event_type ORDER BY event_type
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM kk GROUP BY event_type ORDER BY event_type
         """,
         "dedup_exact_docs": f"""
             SELECT doc_id, {h64('text')} AS content_hash,

@@ -12,14 +12,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _micro_sum(col: str = "value"):
+    """Exact integer sum of a double column in micro-units.
+
+    ``floor(value * 1e6)`` is the same IEEE op on every engine, and BIGINT
+    summation is associative — unlike ``round(sum(double), 6)``, whose value
+    depends on partition/summation order and can flip the 6th decimal between
+    engines (the round-1 ``events_sessionize`` driver hash failure)."""
+    return F.sum(F.floor(F.col(col) * 1000000.0).cast("long"))
+
+
 def tumbling_event_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Per event_type counts/sums over tumbling windows."""
     return (events
             .groupBy(F.window("ts", f"{minutes} minutes").alias("win"), "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value"))
+                 _micro_sum("value").alias("sum_value_micros"))
             .select(F.col("win.start").alias("win_start"), "event_type",
-                    "n_events", "sum_value"))
+                    "n_events", "sum_value_micros"))
 
 
 def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -38,7 +48,7 @@ def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .agg(F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
                  F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value")))
+                 _micro_sum("value").alias("sum_value_micros")))
 
 
 def streaming_event_counts(spark, source_df: DataFrame | None = None,

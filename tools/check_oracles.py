@@ -47,8 +47,12 @@ def main(selected: list[str]) -> int:
     import __spark_entry__ as entrymod
     from quadtree_block_compression_spark.session import build_session
 
+    # mirror the DRIVER's session exactly (CORRECTNESS_r01 showed failures
+    # the old replica couldn't reproduce): ANSI on, NTZ timestamps, Etc/UTC
     spark = build_session("oracle-check", cores=8, shuffle_partitions=8,
-                          extra={"spark.sql.session.timeZone": "UTC"})
+                          extra={"spark.sql.session.timeZone": "Etc/UTC",
+                                 "spark.sql.ansi.enabled": "true",
+                                 "spark.sql.timestampType": "TIMESTAMP_NTZ"})
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -74,9 +78,13 @@ def main(selected: list[str]) -> int:
                 print(f"WARN  {name}: empty result")
             continue
         try:
-            orc = con.execute(oracles[name])
-            orows = orc.fetchall()
-            ocols = [d[0] for d in orc.description]
+            # fetch through pandas, as the driver does: DuckDB HUGEINT (e.g.
+            # sum(INT), window sums) surfaces as float64 here, while
+            # fetchall() would hide it behind Python ints — the round-1
+            # events_json_stats driver failure was exactly this
+            odf = con.execute(oracles[name]).fetchdf()
+            orows = odf.to_dict("records")
+            ocols = list(odf.columns)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures += 1
@@ -84,7 +92,7 @@ def main(selected: list[str]) -> int:
         ok_cols = sorted(cols) == sorted(ocols)
         ok_count = len(rows) == len(orows)
         sh = canon(rows, cols)
-        oh = canon([dict(zip(ocols, r)) for r in orows], ocols)
+        oh = canon(orows, ocols)
         ok_hash = sh == oh
         status = "ok" if (ok_cols and ok_count and ok_hash) else "FAIL"
         if status == "FAIL":
@@ -97,13 +105,7 @@ def main(selected: list[str]) -> int:
                 d = row.asDict()
                 key = canon([row], cols)
                 sset[key] = d
-            oset = {}
-            for r in orows:
-                d = dict(zip(ocols, r))
-                class R:  # tiny shim for canon
-                    _fields = tuple(d)
-                    def __iter__(self): return iter(d.values())
-                oset[canon([d], ocols)] = d
+            oset = {canon([d], ocols): d for d in orows}
             only_s = [v for k, v in sset.items() if k not in oset][:3]
             only_o = [v for k, v in oset.items() if k not in sset][:3]
             print(f"      spark-only: {only_s}")
