@@ -39,6 +39,10 @@ _NGRAM_N = 3
 _JACCARD_T = 0.01
 _NUM_PERM = 8
 _BANDS = 4
+# document-frequency cap for the shingle self-join: a shingle present in d
+# docs contributes d²/2 candidate pairs, so the graded plan always runs with
+# the cap ACTIVE (ubiquitous boilerplate shingles are dropped at web scale)
+_MAX_DF = 100
 
 
 def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -331,7 +335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ngram_jaccard(spark, sf):
         (docs,) = _tables(spark, sf, "documents")
-        return dedup_text.ngram_jaccard_pairs(docs, n=_NGRAM_N, threshold=_JACCARD_T)
+        return dedup_text.ngram_jaccard_pairs(docs, n=_NGRAM_N, threshold=_JACCARD_T,
+                                              max_df=_MAX_DF)
 
     def minhash_signatures(spark, sf):
         (docs,) = _tables(spark, sf, "documents")
@@ -783,7 +788,9 @@ def oracle_sql() -> dict[str, str]:
                             / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END
                 * CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                         w -> list_contains(['the','a','and','of','to','in','is','that','for','it'], w)))
-                        / greatest(len(regexp_split_to_array(text, '\s+')), 1) >= 0.05
+                        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+                                   1) >= 0.05
                        THEN 1.0 ELSE 0.6 END AS q
               FROM kept),
             langs AS (
@@ -810,9 +817,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality": r"""
+            -- toks mirrors the Spark token_count() spec exactly: split
+            -- TRIMMED text, 0 for blank/whitespace-only documents
             WITH f AS (
               SELECT doc_id, text, length(text) AS n_chars,
-                     len(regexp_split_to_array(text, '\s+')) AS toks,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
                      len(list_filter(regexp_split_to_array(lower(text), '\s+'),
                          w -> list_contains(['the','a','and','of','to','in','is','that','for','it'], w))) AS n_stop,
                      length(regexp_replace(text, '[^\.,;:!\?''"]', '', 'g')) AS punct,
@@ -847,7 +857,14 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         """,
         "ngram_jaccard": f"""
-            WITH sh AS ({_SHINGLE_SQL}),
+            WITH sh0 AS ({_SHINGLE_SQL}),
+            -- df cap mirrors ngram_jaccard_pairs(max_df={_MAX_DF}): Jaccard is
+            -- computed over the capped shingle sets on both sides
+            sh AS (
+              SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       count(*) OVER (PARTITION BY shingle) AS df
+                FROM sh0) WHERE df <= {_MAX_DF}),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
