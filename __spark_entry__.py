@@ -177,6 +177,47 @@ _MINHASH_SIG_SQL = f"""
   SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id
 """
 
+# ---- hyperplane-LSH constants, shared by ann.py and the DuckDB oracles ----
+
+_LSH_DIM = 64
+_LSH_PLANES = 8
+_NEAR_DUP_COS = 0.35
+
+
+def _lsh_keyed_sql() -> str:
+    """DuckDB CTE body computing per-vector LSH bucket keys k1/k2 with the
+    SAME ±1 hyperplanes as ``ann.hyperplane_signs`` (embedded literals) and
+    the same half-signature split as ``ann.cosine_topk_lsh``."""
+    from quadtree_block_compression_spark.operators.ann import hyperplane_signs
+
+    planes = hyperplane_signs(_LSH_PLANES, _LSH_DIM)
+    bits = []
+    for p, signs in enumerate(planes):
+        lits = ", ".join(f"{s:.1f}" for s in signs)
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(range(1, {_LSH_DIM + 1}), "
+            f"i -> v[i] * (CAST([{lits}] AS DOUBLE[]))[i])) >= 0 "
+            f"THEN 1 ELSE 0 END AS b{p}")
+    half = _LSH_PLANES // 2
+
+    def key(lo: int, hi: int) -> str:
+        expr = "0"
+        for i in range(lo, hi):
+            expr = f"({expr}) * 2 + b{i}"
+        return expr
+
+    return f"""
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sg AS (SELECT vec_id, v, {', '.join(bits)} FROM e),
+      kb AS (SELECT vec_id, v, {key(0, half)} AS k1,
+                    {key(half, _LSH_PLANES)} AS k2 FROM sg)
+    """
+
+
+_COS_SQL = ("round(list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {b}[i]))"
+            " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+            " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)")
+
 # ------------------------------------------------------------------ entry --
 
 
@@ -376,23 +417,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann.cosine_topk_ivf(emb, q, k=5, n_clusters=16, nprobe=6, iters=3)
 
     def embedding_near_dup(spark, sf):
+        # LSH-bucketed tier (scale-safe: banded bucket equi-joins replace the
+        # quadratic cross join; the oracle replicates the deterministic
+        # hyperplane buckets). The exact brute-force tier remains available
+        # as ann.cosine_topk_bruteforce / tests' cross-check.
         (emb,) = _tables(spark, sf, "embeddings")
-        # brute-force tier (oracle-checkable); the LSH tier is ann_lsh_topk.
-        # Norms are computed once per vector BEFORE the cross join (the pair
-        # count is quadratic; per-pair norm recomputation would dominate).
-        e = (emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-             .withColumn("nrm", F.sqrt(F.aggregate("v", F.lit(0.0),
-                                                   lambda acc, x: acc + x * x))))
-        a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                     F.col("nrm").alias("na"))
-        b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                     F.col("nrm").alias("nb"))
-        dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
-                          lambda acc, x: acc + x)
-        return (a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
-                .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 6))
-                .where(F.col("cos") >= 0.35)
-                .select("vec_a", "vec_b", "cos"))
+        return ann.embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_COS,
+                                            dim=_LSH_DIM, num_planes=_LSH_PLANES)
 
     # ---------------- spatial layer ----------------------------------------
 
@@ -952,16 +983,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
             FROM cand QUALIFY rank <= 5
         """,
-        "embedding_near_dup": """
-            SELECT * FROM (
-              WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                     round(list_sum(list_transform(range(1, len(a.v) + 1),
-                                    i -> a.v[i] * b.v[i]))
-                           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
-              FROM e a, e b WHERE a.vec_id < b.vec_id
-            ) WHERE cos >= 0.35
+        "ann_lsh_topk": f"""
+            WITH {_lsh_keyed_sql()},
+            q AS (SELECT vec_id AS q_id, v AS qv, k1, k2 FROM kb WHERE vec_id < 10),
+            cand AS (
+              SELECT e.vec_id, q.q_id, e.v, q.qv
+              FROM kb e JOIN q ON (e.k1 = q.k1 OR e.k2 = q.k2)
+              WHERE e.vec_id <> q.q_id),
+            scored AS (
+              SELECT q_id, vec_id,
+                     {_COS_SQL.format(d=_LSH_DIM, a='v', b='qv')} AS cos
+              FROM cand)
+            SELECT q_id, vec_id, cos,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
+        "embedding_near_dup": f"""
+            WITH {_lsh_keyed_sql()},
+            cand AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+              FROM kb a JOIN kb b
+                ON a.vec_id < b.vec_id AND (a.k1 = b.k1 OR a.k2 = b.k2)),
+            scored AS (
+              SELECT vec_a, vec_b,
+                     {_COS_SQL.format(d=_LSH_DIM, a='va', b='vb')} AS cos
+              FROM cand)
+            SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {_NEAR_DUP_COS}
         """,
         "cell_assign": f"""
             WITH p AS (

@@ -58,12 +58,10 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
             .select("q_id", F.col(id_col), "cos", "rank"))
 
 
-def _hyperplane_sign_cols(vec_col: str, dim: int, num_planes: int):
-    """Deterministic ±1 hyperplanes: sign of portable-hash parity per
-    (plane, dim). sign bit = bit0 of hash64(f'{plane}:{dim}') — identical in
-    the SQL oracle. Returns one 0/1 sign column per plane (JVM-only)."""
-    # Precompute ±1 matrices driver-side (tiny), embed as array literals —
-    # stays fully JVM-side and reproducible from the same constants in SQL.
+def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix: sign per (plane, dim) is the
+    parity of the first md5 hex digit of ``f'{plane}:{dim}'``. Public so the
+    DuckDB oracle can embed the identical constants as literal arrays."""
     import hashlib
 
     planes = []
@@ -73,6 +71,14 @@ def _hyperplane_sign_cols(vec_col: str, dim: int, num_planes: int):
             hx = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
             signs.append(1.0 if int(hx[0], 16) % 2 == 0 else -1.0)
         planes.append(signs)
+    return planes
+
+
+def _hyperplane_sign_cols(vec_col: str, dim: int, num_planes: int):
+    """One 0/1 sign column per plane (JVM-only): the ±1 matrices are tiny and
+    embedded as array literals, so the projection is pure whole-stage-codegen
+    and reproducible from the same constants in the SQL oracle."""
+    planes = hyperplane_signs(num_planes, dim)
     cols = []
     for p, signs in enumerate(planes):
         arr = F.array(*[F.lit(s) for s in signs])

@@ -129,6 +129,36 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert len(ls & bf) >= int(0.4 * len(bf))
 
 
+def test_embedding_near_dup_lsh_subset_of_brute(spark):
+    """The graded LSH near-dup tier must emit a subset of the exact
+    brute-force pairs at the same threshold, with identical cosines."""
+    from quadtree_block_compression_spark.operators.ann import (
+        _dot, _norm, embedding_near_dup_pairs)
+    import pandas as pd
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(80, 16))
+    V[11] = V[4] + rng.normal(scale=0.02, size=16)   # planted near-dup
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(80), "embedding": [v.tolist() for v in V]}))
+    lsh = {(r.vec_a, r.vec_b): r.cos
+           for r in embedding_near_dup_pairs(emb, threshold=0.5, dim=16,
+                                             num_planes=6).collect()}
+    e = (emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+         .withColumn("nrm", _norm(F.col("v"))))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    brute = {(r.vec_a, r.vec_b): r.cos for r in
+             (a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+              .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb"))
+                                         / (F.col("na") * F.col("nb")), 6))
+              .where(F.col("cos") >= 0.5).select("vec_a", "vec_b", "cos")).collect()}
+    assert set(lsh) <= set(brute)
+    assert all(brute[k] == v for k, v in lsh.items())
+    assert (4, 11) in lsh                            # near-identical pair found
+
+
 # ----------------------------------------------------------------- archives -
 
 
