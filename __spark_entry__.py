@@ -218,6 +218,22 @@ _COS_SQL = ("round(list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {b}[
             " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
             " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)")
 
+# ---- frozen pixel-kernel fixtures (tests/golden, tools/make_golden.py) ----
+#
+# The quadtree kernel itself is not SQL-expressible, but its deterministic
+# output over the seed-42 fixture images IS a table. That table is frozen as
+# a committed parquet (regenerated only with an intentional kernel-semantics
+# change, in the same commit — see CLAUDE.md), so DuckDB can run the
+# *downstream relational semantics* (dedup election, window predicates,
+# extremes) against it. The driver gate then catches any kernel drift AND any
+# divergence in the Spark-side relational plan.
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_BLOCKS_GOLDEN = os.path.join(_REPO_DIR, "tests", "golden",
+                              "blocks_golden.parquet", "*.parquet")
+_SIZES_GOLDEN = os.path.join(_REPO_DIR, "tests", "golden",
+                             "block_sizes_golden.parquet", "*.parquet")
+
 # ------------------------------------------------------------------ entry --
 
 
@@ -467,8 +483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quadtree_tile_assign(spark, sf):
         images = _fixture_images(spark, 16)
         blocks = tiling.assign_tiles(images)
+        # rule-1/2 leaves never compute similarity (NULL through Arrow);
+        # -1.0 sentinel keeps the cross-engine hash null-representation-free
         return blocks.select("image_id", "tile_id", "level", "x0", "y0", "x1", "y1",
-                             "is_leaf", "oob", F.round("similarity", 9).alias("similarity"),
+                             "is_leaf", "oob",
+                             F.coalesce(F.round("similarity", 9), F.lit(-1.0))
+                             .alias("similarity"),
                              "block_hash", "morton")
 
     def quadtree_roundtrip(spark, sf):
@@ -569,8 +589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from quadtree_block_compression_spark.operators.tile_range import tile_range_scan
         images = _fixture_images(spark, 16)
         blocks = tiling.assign_tiles(images)
-        # window over each padded canvas's upper-left quadrant at level 2
-        return (tile_range_scan(blocks, 0, 0, 32, 32, level=2, side=64)
+        # window over the upper-left 32×32 px at level 2; canvas sides are
+        # auto-derived per image (the fixture mixes 8..128 px canvases)
+        return (tile_range_scan(blocks, 0, 0, 32, 32, level=2)
                 .select("image_id", "tile_id", "x0", "y0", "x1", "y1", "morton"))
 
     def lineage_rollup(spark, sf):
@@ -1058,5 +1079,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, point_id, round(d, 6) AS distance,
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, point_id) AS INT) AS rank
             FROM cand QUALIFY rank <= 5
+        """,
+        # ---- pixel path: DuckDB runs the downstream relational semantics
+        # over the frozen kernel-output fixture (see _BLOCKS_GOLDEN note) ----
+        "quadtree_tile_assign": f"""
+            SELECT image_id, tile_id, level, x0, y0, x1, y1, is_leaf, oob,
+                   coalesce(round(similarity, 9), -1.0) AS similarity,
+                   block_hash, morton
+            FROM read_parquet('{_BLOCKS_GOLDEN}')
+        """,
+        "block_dedup_exact": f"""
+            SELECT image_id, tile_id, block_hash,
+                   (row_number() OVER w) = 1 AS is_canonical,
+                   first_value(image_id) OVER w AS canonical_image_id,
+                   first_value(tile_id) OVER w AS canonical_tile_id
+            FROM read_parquet('{_BLOCKS_GOLDEN}')
+            WINDOW w AS (PARTITION BY block_hash ORDER BY image_id, tile_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "tile_range_query": f"""
+            -- exact window semantics; independently validates the Spark
+            -- plan's Morton-range prefilter (a dropped tile would mismatch)
+            SELECT image_id, tile_id, x0, y0, x1, y1, morton
+            FROM read_parquet('{_BLOCKS_GOLDEN}')
+            WHERE level = 2
+              AND x0 < 32 AND x1 > 0 AND y0 < 32 AND y1 > 0
+        """,
+        "lineage_rollup": f"""
+            SELECT 'tile_assign' AS stage, count(*) AS rows_total
+            FROM read_parquet('{_BLOCKS_GOLDEN}')
+        """,
+        "block_size_extremes": f"""
+            WITH s AS (
+              SELECT enc_bytes, image_id || '/' || tile_id AS key
+              FROM read_parquet('{_SIZES_GOLDEN}'))
+            SELECT
+              (SELECT min(enc_bytes) FROM s) AS min_bytes,
+              (SELECT max(enc_bytes) FROM s) AS max_bytes,
+              (SELECT min(key) FROM s
+                WHERE enc_bytes = (SELECT min(enc_bytes) FROM s)) AS min_block,
+              (SELECT max(key) FROM s
+                WHERE enc_bytes = (SELECT max(enc_bytes) FROM s)) AS max_block,
+              (SELECT count(*) FROM s) AS n_blocks
         """,
     }

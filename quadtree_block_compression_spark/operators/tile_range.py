@@ -54,17 +54,41 @@ def _to_ranges(keys: np.ndarray) -> list[tuple[int, int]]:
 
 
 def tile_range_scan(blocks: DataFrame, x0: float, y0: float, x1: float,
-                    y1: float, level: int, side: int) -> DataFrame:
+                    y1: float, level: int, side: int | None = None) -> DataFrame:
     """Blocks of ``level`` whose tiles intersect the window, selected by
-    Morton-range predicates (row-group prunable) + exact bounds verify."""
-    ranges = _to_ranges(_tiles_overlapping(x0, y0, x1, y1, level, side))
-    if not ranges:
-        return blocks.limit(0)
+    Morton-range predicates (row-group prunable) + exact bounds verify.
+
+    Morton keys are tile *indices* within each image's padded canvas, so the
+    window→ranges decomposition depends on the canvas side. With
+    ``side=None`` (default) the distinct sides present at ``level`` are
+    discovered first (side = tile_width · 2^level; one tiny distinct over two
+    pruned int columns — metadata-scale even at 10^12 blocks since there are
+    only O(log max_side) distinct sides) and a per-side range predicate is
+    OR-ed together. Passing an explicit ``side`` skips that lookup but is
+    only correct for single-side block tables: tiles of a canvas *smaller*
+    than ``side`` can carry Morton keys outside the computed ranges and
+    would be silently dropped before the exact verify."""
+    lv = blocks.filter(F.col("level") == level)
+    side_col = (F.col("x1") - F.col("x0")) * F.lit(1 << level)
+    if side is not None:
+        sides = [int(side)]
+    else:
+        sides = sorted(int(r.s) for r in
+                       lv.select(side_col.cast("long").alias("s")).distinct().collect())
     pred = None
-    for lo, hi in ranges:
-        p = (F.col("morton") >= lo) & (F.col("morton") <= hi)
-        pred = p if pred is None else (pred | p)
-    return (blocks.filter(F.col("level") == level).filter(pred)
+    for s in sides:
+        ranges = _to_ranges(_tiles_overlapping(x0, y0, x1, y1, level, s))
+        sp = None
+        for lo, hi in ranges:
+            p = (F.col("morton") >= lo) & (F.col("morton") <= hi)
+            sp = p if sp is None else (sp | p)
+        if sp is None:
+            continue
+        sp = sp if side is not None else (side_col == s) & sp
+        pred = sp if pred is None else (pred | sp)
+    if pred is None:
+        return blocks.limit(0)
+    return (lv.filter(pred)
             # exact verify (strict-overlap semantics, cf. RectanglesCollide)
             .filter((F.col("x0") < x1) & (F.col("x1") > x0)
                     & (F.col("y0") < y1) & (F.col("y1") > y0)))

@@ -23,6 +23,23 @@ def test_range_decomposition():
     assert _to_ranges(keys) == [(0, 0), (2, 2)]
 
 
+def test_tile_range_scan_mixed_sides(spark, tiny_images):
+    """Auto-derived per-canvas sides: a blocks table mixing canvas sizes must
+    return exactly the brute-force window answer (the single-side prefilter
+    used to silently drop tiles of smaller canvases)."""
+    blocks = assign_tiles(tiny_images).cache()
+    sides = {int(r.s) for r in blocks.selectExpr(
+        "(x1 - x0) * shiftleft(1, level) AS s").distinct().collect()}
+    assert len(sides) > 1, "fixture must mix canvas sides for this test"
+    for level in (1, 2):
+        got = {(r.image_id, r.tile_id) for r in
+               tile_range_scan(blocks, 0, 0, 24, 24, level).collect()}
+        want = {(r.image_id, r.tile_id) for r in blocks.filter(
+            (F.col("level") == level) & (F.col("x0") < 24) & (F.col("x1") > 0)
+            & (F.col("y0") < 24) & (F.col("y1") > 0)).collect()}
+        assert got == want, level
+
+
 @pytest.mark.parametrize("win", [(0, 0, 16, 16), (10, 20, 50, 60), (33, 1, 64, 64)])
 def test_tile_range_scan_matches_bruteforce(spark, win):
     rng = np.random.default_rng(0)
