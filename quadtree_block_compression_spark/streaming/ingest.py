@@ -2,11 +2,16 @@
 
 The streaming face of the encode pipeline: a Structured Streaming source of
 image rows is tile-assigned per micro-batch with the SAME batch operator
-(``operators.tiling.assign_tiles``) inside ``foreachBatch``, appended to the
-blocks store with per-batch lineage rows. ``foreachBatch`` + checkpoint
-gives exactly-once sink semantics for an idempotent parquet append keyed by
-(batch_id), and keeps one code path for batch and streaming tile assignment
-(no semantic drift between the two).
+(``operators.tiling.assign_tiles``) inside ``foreachBatch``, and keeps one
+code path for batch and streaming tile assignment (no semantic drift
+between the two).
+
+``foreachBatch`` alone is only at-least-once: a batch retried after a
+failure between the sink write and the checkpoint commit runs again with
+the SAME batch_id. The sink is therefore made idempotent per batch: output
+is partitioned by ``_batch_id`` and written with dynamic partition
+overwrite, so a replayed batch *replaces* its own partition instead of
+appending a duplicate — checkpoint + idempotent sink = exactly-once.
 """
 
 from __future__ import annotations
@@ -16,25 +21,38 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import EngineConfig, DEFAULT_CONFIG
 
 
+def make_batch_processor(blocks_path: str, cfg: EngineConfig = DEFAULT_CONFIG,
+                         lineage_path: str | None = None):
+    """The ``foreachBatch`` body, exposed so tests can replay a batch_id and
+    assert the sink is idempotent (the exactly-once half the checkpoint
+    cannot provide by itself)."""
+    from ..operators.tiling import assign_tiles
+    from ..plans.lineage import partition_lineage
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        blocks = assign_tiles(batch_df, cfg).withColumn("_batch_id", F.lit(batch_id))
+        (blocks.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(blocks_path))
+        if lineage_path:
+            (partition_lineage(blocks, f"ingest_batch_{batch_id}",
+                               weigh_col="block_px")
+             .withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch_id").parquet(lineage_path))
+
+    return process_batch
+
+
 def start_image_ingest(stream_images: DataFrame, blocks_path: str,
                        checkpoint_path: str,
                        cfg: EngineConfig = DEFAULT_CONFIG,
                        lineage_path: str | None = None):
     """Start the ingest query. ``stream_images`` must have the images-table
     schema. Returns the StreamingQuery (caller stops it)."""
-    from ..operators.tiling import assign_tiles
-    from ..plans.lineage import partition_lineage
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        blocks = assign_tiles(batch_df, cfg).withColumn("_batch_id", F.lit(batch_id))
-        blocks.write.mode("append").parquet(blocks_path)
-        if lineage_path:
-            (partition_lineage(blocks, f"ingest_batch_{batch_id}",
-                               weigh_col="block_px")
-             .write.mode("append").parquet(lineage_path))
-
     return (stream_images.writeStream
-            .foreachBatch(process_batch)
+            .foreachBatch(make_batch_processor(blocks_path, cfg, lineage_path))
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True)
             .start())

@@ -37,3 +37,28 @@ def test_streaming_ingest_matches_batch(spark, tiny_images, tmp_path):
     q2 = start_image_ingest(stream2, blocks_out, ckpt, lineage_path=lineage)
     q2.awaitTermination(60)
     assert spark.read.parquet(blocks_out).count() == want.count()
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tiny_images, tmp_path):
+    """foreachBatch is at-least-once: a batch retried with the same batch_id
+    (failure between sink write and checkpoint commit) must REPLACE its own
+    output, not append a duplicate — the idempotent half of exactly-once."""
+    from quadtree_block_compression_spark.streaming.ingest import make_batch_processor
+
+    blocks_out = str(tmp_path / "blocks_replay")
+    lineage = str(tmp_path / "lineage_replay")
+    proc = make_batch_processor(blocks_out, lineage_path=lineage)
+    subset = tiny_images.limit(4).cache()
+
+    proc(subset, 0)
+    n_first = spark.read.parquet(blocks_out).count()
+    proc(subset, 0)                      # simulated retry of the same batch
+    assert spark.read.parquet(blocks_out).count() == n_first
+    proc(subset.limit(2), 1)             # a NEW batch still appends
+    got = spark.read.parquet(blocks_out)
+    assert got.filter(F.col("_batch_id") == 1).count() > 0
+    assert got.filter(F.col("_batch_id") == 0).count() == n_first
+    # lineage follows the same per-batch overwrite discipline
+    lin = spark.read.parquet(lineage)
+    assert lin.filter(F.col("stage") == "ingest_batch_0") \
+              .filter(F.col("partition_id") == -1).count() == 1
