@@ -561,6 +561,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         ignore_index=True)
         return phash_near_dup_pairs(spark.createDataFrame(pdf), max_hamming=10)
 
+    def audio_features(spark, sf):
+        """Real WAV PCM decode (stdlib wave) over deterministic generated
+        clips — one per nation key, varied rate/length/channels. rows-only:
+        no SQL engine can decode RIFF."""
+        import pandas as pd
+        from quadtree_block_compression_spark.operators.multimodal import (
+            audio_features as afeat, make_wav_pcm16)
+        nat = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey").collect()
+        rows = [{"clip_id": int(r.n_nationkey),
+                 "bytes": make_wav_pcm16(int(r.n_nationkey),
+                                         sr=8000 * (1 + int(r.n_nationkey) % 3),
+                                         n_frames=800 + 160 * int(r.n_nationkey),
+                                         nch=1 + int(r.n_nationkey) % 2)}
+                for r in nat]
+        out = afeat(spark.createDataFrame(pd.DataFrame(rows)))
+        return out.select("clip_id", "codec", "sample_rate", "n_channels",
+                          "n_frames", F.round("duration_s", 6).alias("duration_s"),
+                          F.round("mean_amp", 6).alias("mean_amp"),
+                          F.round("peak_amp", 6).alias("peak_amp"),
+                          F.round("rms", 6).alias("rms"))
+
     def block_size_extremes(spark, sf):
         from quadtree_block_compression_spark.operators.calibration import (
             block_size_extremes as extremes)
@@ -641,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_roundtrip": archive_roundtrip,
         "block_size_extremes": block_size_extremes,
         "image_near_dup_phash": image_near_dup_phash,
+        "audio_features": audio_features,
         "tile_range_query": tile_range_query,
         "lineage_rollup": lineage_rollup,
     }

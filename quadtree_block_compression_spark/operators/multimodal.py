@@ -7,10 +7,12 @@ All heavy work is ``mapInPandas`` over Arrow batches with small
 ``maxRecordsPerBatch`` (multi-MB payloads): schema, partitioning, UDF
 signature and batch shape are the real, tested plumbing.
 
-Image decode/resize use this repo's own numpy codecs (real). Audio decode and
-video frame-sampling are STUBS — the container has no soundfile/ffmpeg — that
-raise ``NotImplementedError`` for real formats but implement a deterministic
-fake ('QAUD'/'QVID' headers) so the Spark plumbing is exercised end-to-end.
+Image decode/resize use this repo's own numpy codecs (real). Audio decode is
+REAL for RIFF/WAVE PCM (stdlib ``wave`` + numpy — 8/16/24/32-bit widths, any
+channel count); compressed audio (mp3/flac/ogg) and video frame-sampling
+remain STUBS — the container has no soundfile/ffmpeg — that raise
+``NotImplementedError`` for real formats but implement a deterministic fake
+('QAUD'/'QVID' headers) so the Spark plumbing is exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -73,11 +75,51 @@ def image_resize(images: DataFrame, dst_w: int, dst_h: int,
     return src.mapInPandas(rz, "image_id string, bytes binary, w int, h int, fmt string")
 
 
-def audio_decode_stub(audio: DataFrame, id_col: str = "clip_id",
-                      bytes_col: str = "bytes") -> DataFrame:
-    """Audio decode plumbing. Real formats (wav/mp3/flac) raise
-    ``NotImplementedError`` (no audio libs in this container); the QAUD fake
-    decodes deterministically so schema/batching are tested."""
+def decode_wav_pcm(data: bytes):
+    """Decode RIFF/WAVE PCM bytes with stdlib ``wave`` → (samples, sr, nch).
+
+    Samples are float64 in [-1, 1), interleaved frames flattened. Supports
+    the PCM widths ``wave`` accepts (8-bit unsigned, 16/32-bit signed LE)
+    plus 24-bit via manual sign extension."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        sr = wf.getframerate()
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend 24-bit
+        x = v.astype(np.float64) / 8388608.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
+    return x, sr, nch
+
+
+AUDIO_FEATURES_SCHEMA = ("{id} long, codec string, sample_rate int, "
+                         "n_channels int, n_frames long, duration_s double, "
+                         "mean_amp double, peak_amp double, rms double")
+
+
+def audio_features(audio: DataFrame, id_col: str = "clip_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Per-clip audio features over a binary column.
+
+    RIFF/WAVE PCM decodes for real (stdlib ``wave``); the QAUD deterministic
+    fake container stays accepted for adversarial plumbing tests; compressed
+    formats raise ``NotImplementedError`` (no codec libs in this container).
+    One Arrow pass; only (id, bytes) cross the boundary."""
     src = audio.select(id_col, bytes_col)
 
     def dec(batches):
@@ -88,19 +130,30 @@ def audio_decode_stub(audio: DataFrame, id_col: str = "clip_id",
             out = []
             for cid, data in zip(pdf[id_col], pdf[bytes_col]):
                 data = bytes(data)
-                if data[:4] != AUD_SIG:
+                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    x, sr, nch = decode_wav_pcm(data)
+                    codec = "wav_pcm"
+                elif data[:4] == AUD_SIG:
+                    (sr, n) = struct.unpack(">II", data[4:12])
+                    x = np.frombuffer(data[12:12 + 4 * n], dtype=">f4") \
+                        .astype(np.float64)
+                    nch, codec = 1, "qaud"
+                else:
                     raise NotImplementedError(
-                        "real audio codecs unavailable in this environment; "
-                        "payload must be QAUD (deterministic test container)")
-                (sr, n) = struct.unpack(">II", data[4:12])
-                samples = np.frombuffer(data[12:12 + 4 * n], dtype=">f4")
-                out.append((cid, sr, n, float(samples.mean()) if n else 0.0,
-                            float(np.abs(samples).max()) if n else 0.0))
-            yield pd.DataFrame(out, columns=[id_col, "sample_rate", "n_samples",
-                                             "mean_amp", "peak_amp"])
+                        "compressed audio codecs unavailable in this "
+                        "environment; payload must be WAV PCM or QAUD")
+                nf = len(x) // max(nch, 1)
+                out.append((cid, codec, sr, nch, nf,
+                            nf / sr if sr else 0.0,
+                            float(x.mean()) if len(x) else 0.0,
+                            float(np.abs(x).max()) if len(x) else 0.0,
+                            float(np.sqrt((x * x).mean())) if len(x) else 0.0))
+            yield pd.DataFrame(out, columns=[id_col, "codec", "sample_rate",
+                                             "n_channels", "n_frames",
+                                             "duration_s", "mean_amp",
+                                             "peak_amp", "rms"])
 
-    return src.mapInPandas(dec, f"{id_col} long, sample_rate int, n_samples int, "
-                                "mean_amp double, peak_amp double")
+    return src.mapInPandas(dec, AUDIO_FEATURES_SCHEMA.format(id=id_col))
 
 
 def video_frame_sample_stub(video: DataFrame, every_n: int = 10,
@@ -131,6 +184,24 @@ def video_frame_sample_stub(video: DataFrame, every_n: int = 10,
             yield pd.DataFrame(out, columns=[id_col, "frame_idx", "frame_png"])
 
     return src.mapInPandas(sample, f"{id_col} long, frame_idx int, frame_png binary")
+
+
+def make_wav_pcm16(clip_id: int, sr: int = 16000, n_frames: int = 1600,
+                   nch: int = 1) -> bytes:
+    """Deterministic 16-bit PCM WAV bytes (stdlib writer) for tests/queries."""
+    import io
+    import wave
+
+    import numpy as np
+    rng = np.random.default_rng(clip_id)
+    x = np.round((rng.random(n_frames * nch) - 0.5) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
 
 
 def make_fake_audio(clip_id: int, sr: int = 16000, n: int = 1600) -> bytes:

@@ -241,22 +241,54 @@ def test_block_size_extremes(spark, tiny_images):
 
 def test_audio_video_stubs(spark):
     from quadtree_block_compression_spark.operators.multimodal import (
-        audio_decode_stub, video_frame_sample_stub, make_fake_audio, make_fake_video)
+        audio_features, video_frame_sample_stub, make_fake_audio, make_fake_video)
     import pandas as pd
     aud = spark.createDataFrame(pd.DataFrame(
         {"clip_id": [1, 2], "bytes": [make_fake_audio(1), make_fake_audio(2)]}))
-    a = audio_decode_stub(aud).collect()
+    a = audio_features(aud).collect()
     assert {r.clip_id for r in a} == {1, 2}
-    assert all(r.sample_rate == 16000 and r.n_samples == 1600 for r in a)
+    assert all(r.sample_rate == 16000 and r.n_frames == 1600
+               and r.codec == "qaud" for r in a)
 
     vid = spark.createDataFrame(pd.DataFrame(
         {"video_id": [5], "bytes": [make_fake_video(5, nf=30)]}))
     frames = video_frame_sample_stub(vid, every_n=10).collect()
     assert [r.frame_idx for r in frames] == [0, 10, 20]
 
-    bad = spark.createDataFrame(pd.DataFrame({"clip_id": [9], "bytes": [b"RIFFxxxx"]}))
-    with pytest.raises(Exception, match="NotImplementedError|real audio"):
-        audio_decode_stub(bad).collect()
+    bad = spark.createDataFrame(pd.DataFrame({"clip_id": [9], "bytes": [b"OggSxxxx"]}))
+    with pytest.raises(Exception, match="NotImplementedError|compressed audio"):
+        audio_features(bad).collect()
+
+
+def test_audio_features_real_wav(spark):
+    """RIFF/WAVE PCM decodes for real via stdlib wave: features computed in
+    the Spark plan must equal a direct numpy computation on the same bytes."""
+    from quadtree_block_compression_spark.operators.multimodal import (
+        audio_features, decode_wav_pcm, make_wav_pcm16)
+    import pandas as pd
+    clips = {7: make_wav_pcm16(7, sr=8000, n_frames=800),
+             8: make_wav_pcm16(8, sr=16000, n_frames=1600, nch=2)}
+    aud = spark.createDataFrame(pd.DataFrame(
+        {"clip_id": list(clips), "bytes": list(clips.values())}))
+    got = {r.clip_id: r for r in audio_features(aud).collect()}
+    assert got[7].codec == "wav_pcm" and got[7].sample_rate == 8000
+    assert got[7].n_channels == 1 and got[7].n_frames == 800
+    assert got[8].n_channels == 2 and got[8].n_frames == 1600
+    assert got[8].duration_s == pytest.approx(0.1)
+    for cid, raw in clips.items():
+        x, sr, nch = decode_wav_pcm(raw)
+        assert got[cid].mean_amp == pytest.approx(float(x.mean()))
+        assert got[cid].peak_amp == pytest.approx(float(np.abs(x).max()))
+        assert got[cid].rms == pytest.approx(float(np.sqrt((x * x).mean())))
+    # 24-bit sign extension round-trips negative samples correctly
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(3); wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00\x80" + b"\xff\xff\x7f" + b"\x00\x00\x00")
+    x, sr, nch = decode_wav_pcm(buf.getvalue())
+    assert x[0] == -1.0 and 0.999 < x[1] < 1.0 and x[2] == 0.0
 
 
 # ---------------------------------------------------------------- streaming -
