@@ -29,6 +29,7 @@ import numpy as np
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 RAW_SIG = b"QRAW"
 QJX_SIG = b"QJX1"
+JPEG_SIG = b"\xff\xd8"  # real JFIF/JPEG (see kernels/jfif.py)
 
 # ---------------------------------------------------------------- raw ------
 
@@ -218,6 +219,9 @@ _ENCODERS = {"raw": encode_raw, "png": encode_png}
 def encode_image(img: np.ndarray, fmt: str, quality: int = 75) -> bytes:
     if fmt == "jpeg":
         return encode_lossy(img, quality)
+    if fmt == "jfif":  # real wire-format JPEG (interop with the reference)
+        from .jfif import encode_jfif
+        return encode_jfif(img, quality)
     return _ENCODERS[fmt](img)
 
 
@@ -229,4 +233,7 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_raw(data)
     if data[:4] == QJX_SIG:
         return decode_lossy(data)
+    if data[:2] == JPEG_SIG:  # real JPEG, e.g. reference-produced archives
+        from .jfif import decode_jfif  # lazy: jfif imports this module
+        return decode_jfif(data)
     raise ValueError("unknown image format")

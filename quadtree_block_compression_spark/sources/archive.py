@@ -43,12 +43,17 @@ def _path_to_tile(path: str) -> str:
 
 def write_archives(blocks: DataFrame, images_meta: DataFrame,
                    cfg: EngineConfig = DEFAULT_CONFIG,
-                   skip_oob: bool = False) -> DataFrame:
+                   skip_oob: bool = False, codec: str = "jfif") -> DataFrame:
     """Leaf blocks → one zip archive per image.
 
     ``images_meta``: (image_id, w, h). Exact duplicate blocks within an
     image are stored once; later occurrences become pseudo-symlinks, like
     the reference's imagePaths map (``quadtreeElement.go:249-261``).
+
+    ``codec``: ``"jfif"`` (default) writes REAL baseline JPEG members —
+    wire-compatible with the reference's stdlib-JPEG archives
+    (``quadtreeElement.go:254``); ``"jpeg"`` writes the fast vectorized QJX
+    DCT stand-in (same loss model, not wire-JPEG).
     """
     quality = cfg.encoding.block_quality
     leaves = (blocks.filter(F.col("is_leaf"))
@@ -59,7 +64,7 @@ def write_archives(blocks: DataFrame, images_meta: DataFrame,
     def build(pdf):
         import numpy as np
         import pandas as pd
-        from ..kernels.codecs import encode_lossy
+        from ..kernels.codecs import encode_image
         from ..kernels.tiles import tree_height
 
         image_id = pdf["image_id"].iloc[0]
@@ -75,7 +80,7 @@ def write_archives(blocks: DataFrame, images_meta: DataFrame,
                     z.writestr(path, seen[bh])
                 else:
                     arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(8, 8, 3)
-                    z.writestr(path, encode_lossy(arr, quality))
+                    z.writestr(path, encode_image(arr, codec, quality))
                     seen[bh] = path
         return pd.DataFrame([{"image_id": image_id, "archive": buf.getvalue(),
                               "n_members": len(pdf) + 1}])
@@ -94,7 +99,8 @@ def read_archives(archives: DataFrame) -> DataFrame:
 
     def parse(batches):
         import pandas as pd
-        from ..kernels.codecs import decode_image, QJX_SIG, PNG_SIG, RAW_SIG
+        from ..kernels.codecs import (decode_image, JPEG_SIG, PNG_SIG,
+                                      QJX_SIG, RAW_SIG)
 
         for pdf in batches:
             out = []
@@ -106,8 +112,11 @@ def read_archives(archives: DataFrame) -> DataFrame:
                     raise ValueError(f"malformed meta in {image_id}")
                 th, w, h = (int(v) for v in meta)
                 for path, body in members.items():
+                    # the reference's symlink-detection rule: a member that
+                    # fails the image magic sniff is a path string
                     is_link = not (body[:4] in (QJX_SIG, RAW_SIG)
-                                   or body[:8] == PNG_SIG)
+                                   or body[:8] == PNG_SIG
+                                   or body[:2] == JPEG_SIG)
                     if is_link:  # follow pseudo-symlink
                         body = members[body.decode()]
                     px = decode_image(body)

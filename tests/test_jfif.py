@@ -1,0 +1,153 @@
+"""Real-JPEG (baseline JFIF) codec: self round-trips, interop against Java
+ImageIO (an independent standard implementation, via the Spark JVM), and
+reference-style archives with real JPEG members."""
+
+import io
+import os
+import tempfile
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quadtree_block_compression_spark.kernels.jfif import decode_jfif, encode_jfif
+from quadtree_block_compression_spark.kernels.similarity import psnr
+
+
+def _gradient(h=32, w=48):
+    return (np.linspace(0, 255, w)[None, :, None] * np.ones((h, 1, 3))).astype(np.uint8)
+
+
+def test_jfif_self_roundtrip_profile():
+    rng = np.random.default_rng(0)
+    smooth = _gradient()
+    assert psnr(smooth, decode_jfif(encode_jfif(smooth, 75))) >= 45
+    solid = np.full((16, 16, 3), 130, np.uint8)
+    assert psnr(solid, decode_jfif(encode_jfif(solid, 75))) == float("inf")
+    noise = rng.integers(0, 256, (17, 23, 3)).astype(np.uint8)  # odd dims
+    dec = decode_jfif(encode_jfif(noise, 90))
+    assert dec.shape == noise.shape and psnr(noise, dec) >= 25
+
+
+def test_jfif_rejects_progressive():
+    # SOF2 after SOI must raise, not mis-decode
+    bad = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x08" + b"\x08\x00\x08\x00\x08\x01"
+    with pytest.raises(NotImplementedError):
+        decode_jfif(bad)
+
+
+# ------------------------- interop via Java ImageIO (independent codec) ----
+
+
+def _imageio_encode(spark, img, quality):
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    h, w = img.shape[:2]
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    flat = ((img[:, :, 0].astype(np.int64) << 16)
+            | (img[:, :, 1].astype(np.int64) << 8)
+            | img[:, :, 2].astype(np.int64)).reshape(-1).tolist()
+    arr = gw.new_array(jvm.int, h * w)
+    for i, v in enumerate(flat):
+        arr[i] = int(v)
+    bi.setRGB(0, 0, w, h, arr, 0, w)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(float(quality) / 100.0)
+    path = tempfile.mktemp(suffix=".jpg")
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(path))
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+    ios.close()
+    writer.dispose()
+    with open(path, "rb") as f:
+        data = f.read()
+    os.unlink(path)
+    return data
+
+
+def _imageio_decode(spark, data):
+    jvm = spark._jvm
+    path = tempfile.mktemp(suffix=".jpg")
+    with open(path, "wb") as f:
+        f.write(data)
+    bi = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    os.unlink(path)
+    w, h = bi.getWidth(), bi.getHeight()
+    a = np.array(list(bi.getRGB(0, 0, w, h, None, 0, w)), dtype=np.int64).reshape(h, w)
+    return np.stack([(a >> 16) & 255, (a >> 8) & 255, a & 255], -1).astype(np.uint8)
+
+
+def test_jfif_decodes_foreign_jpeg(spark):
+    """Direction 1: a stdlib-grade encoder (Java ImageIO, 4:2:0 like Go's
+    image/jpeg) produces the bytes; our pure-numpy decoder reads them."""
+    img = _gradient()
+    real = _imageio_encode(spark, img, 75)
+    assert real[:2] == b"\xff\xd8"
+    ours = decode_jfif(real)
+    assert psnr(img, ours) >= 45
+    # against Java's own decode of the same bytes: bit-exact on this content
+    assert psnr(_imageio_decode(spark, real), ours) == float("inf")
+
+
+def test_jfif_output_readable_by_foreign_decoder(spark):
+    """Direction 2: our encoder's streams decode in Java ImageIO."""
+    img = _gradient(24, 40)
+    mine = encode_jfif(img, 90)
+    back = _imageio_decode(spark, mine)
+    assert psnr(img, back) >= 45
+    # both decoders agree on our stream
+    assert psnr(decode_jfif(mine), back) >= 45
+
+
+def test_read_archives_with_real_jpeg_members(spark):
+    """A reference-style .qt.zip whose members are REAL JPEG bytes (produced
+    by the independent Java encoder) decodes through read_archives with the
+    PSNR>=40 lossy criterion on smooth blocks (VERDICT r1 #8)."""
+    from quadtree_block_compression_spark.sources.archive import read_archives
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(90, 110, (1, 1, 3))  # near-solid smooth blocks
+    blocks = {}
+    for tid in ("0", "1", "2", "3"):
+        px = (base + rng.integers(0, 8, (8, 8, 3))).astype(np.uint8)
+        blocks[tid] = px
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("meta", "1\n16\n16")
+        for tid, px in blocks.items():
+            z.writestr(tid, _imageio_encode(spark, px, 75))
+        z.writestr("9", "0")  # pseudo-symlink to member "0"
+    arch = spark.createDataFrame(pd.DataFrame(
+        [{"image_id": "ref_like", "archive": buf.getvalue()}]))
+    rows = {r.tile_id: r for r in read_archives(arch).collect()}
+    assert set(rows) == {"0", "1", "2", "3", "9"}
+    for tid, px in blocks.items():
+        got = np.frombuffer(bytes(rows[tid].block_px), np.uint8).reshape(8, 8, 3)
+        assert psnr(px, got) >= 40, tid
+    assert rows["9"].is_symlink
+    assert rows["9"].block_px == rows["0"].block_px
+
+
+def test_write_archives_emits_wire_jpeg(spark, tiny_images):
+    """The default archive codec is now real JFIF: members must carry the
+    JPEG SOI magic and round-trip through our decoder."""
+    from quadtree_block_compression_spark.operators.tiling import assign_tiles
+    from quadtree_block_compression_spark.sources.archive import write_archives
+
+    imgs = tiny_images.limit(2)
+    arch = write_archives(assign_tiles(imgs), imgs).collect()
+    found_jpeg = False
+    for r in arch:
+        with zipfile.ZipFile(io.BytesIO(bytes(r.archive))) as z:
+            for name in z.namelist():
+                if name == "meta":
+                    continue
+                body = z.read(name)
+                if body[:2] == b"\xff\xd8":
+                    found_jpeg = True
+                    assert decode_jfif(body).shape == (8, 8, 3)
+    assert found_jpeg
