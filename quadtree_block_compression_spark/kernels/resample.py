@@ -14,6 +14,14 @@ x/image algorithm (not ported code):
   ``At().RGBA()`` yields ``v8 * 0x101``) and the final conversion is
   ``uint16(clamp(sum + 0.5)) >> 8``, matching Go's ``ftou``/``>>8`` path, so
   exact 8-bit values survive identity transforms bit-for-bit.
+* ApproxBiLinear: x/image's *point-sampled* bilinear (``draw/interp.go``
+  ablInterpolator): back-project ``sx = (dx+0.5)·sw/dw − 0.5`` (edge-
+  clamped) and blend the two neighbors with weights ``(1−fx, fx)`` — no
+  kernel widening on minification, which is exactly what distinguishes it
+  from the true BiLinear kernel. Separable with ≤2 taps per row, so it
+  shares the matmul path; arithmetic is float64 in the 16-bit domain where
+  Go's fast paths use integer fixed point — a documented sub-LSB rounding
+  divergence, bit-exact on identity.
 
 Weights are precomputed per (src_size, dst_size, kernel) and cached — in the
 tiling UDF every level of every image reuses the same two matrices, so the
@@ -26,13 +34,13 @@ import functools
 
 import numpy as np
 
-_SUPPORT = {"BiLinear": 1.0, "ApproxBiLinear": 1.0, "CatmullRom": 2.0}
+_SUPPORT = {"BiLinear": 1.0, "CatmullRom": 2.0}
 
 
 def _kernel_at(name: str, t: np.ndarray) -> np.ndarray:
     """Kernel response at |t|; zero outside support."""
     t = np.abs(t)
-    if name in ("BiLinear", "ApproxBiLinear"):
+    if name == "BiLinear":
         return np.where(t < 1.0, 1.0 - t, 0.0)
     if name == "CatmullRom":
         # Catmull-Rom spline, a = -0.5 (the x/image choice)
@@ -62,6 +70,24 @@ def _distrib(src: int, dst: int, name: str) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=4096)
+def _abl_distrib(src: int, dst: int) -> np.ndarray:
+    """(dst, src) point-sampled bilinear weights (ApproxBiLinear): two taps
+    at floor/ceil of the back-projected coordinate, edge-clamped."""
+    w = np.zeros((dst, src), dtype=np.float64)
+    for d in range(dst):
+        sx = (d + 0.5) * (src / dst) - 0.5
+        sx = min(max(sx, 0.0), float(src - 1))
+        ix = int(np.floor(sx))
+        fx = sx - ix
+        if ix + 1 < src and fx > 0.0:
+            w[d, ix] = 1.0 - fx
+            w[d, ix + 1] = fx
+        else:
+            w[d, ix] = 1.0
+    return w
+
+
+@functools.lru_cache(maxsize=4096)
 def _nn_index(src: int, dst: int) -> np.ndarray:
     """Nearest-neighbor source indices, Go integer arithmetic."""
     d = np.arange(dst, dtype=np.int64)
@@ -84,8 +110,12 @@ def scale_batch(imgs: np.ndarray, dst_h: int, dst_w: int, method: str) -> np.nda
         iy = _nn_index(h, dst_h)
         ix = _nn_index(w, dst_w)
         return imgs[:, iy[:, None], ix[None, :], :]
-    wy = _distrib(h, dst_h, method)              # (dst_h, h)
-    wx = _distrib(w, dst_w, method) * 257.0      # (dst_w, w); fold the 16-bit
+    if method == "ApproxBiLinear":
+        wy = _abl_distrib(h, dst_h)
+        wx = _abl_distrib(w, dst_w) * 257.0
+    else:
+        wy = _distrib(h, dst_h, method)          # (dst_h, h)
+        wx = _distrib(w, dst_w, method) * 257.0  # (dst_w, w); fold the 16-bit
     # expansion (v8·0x101) into the tiny weight matrix instead of a full-array
     # multiply — exact, since the expansion is linear.
     v = imgs.astype(np.float64)

@@ -61,6 +61,25 @@ def test_catmullrom_upsample_smooth_monotone_ramp():
     assert d.min() >= -1 and up[0, -1, 0] >= 250
 
 
+def test_approx_bilinear_point_sampled_semantics():
+    """x/image ApproxBiLinear: identity bit-exact; equals the BiLinear
+    kernel on magnification (same two taps); DIFFERS on minification —
+    point sampling never widens the kernel, the defining 'approx' trait."""
+    img = RNG.integers(0, 256, (16, 16, 3), dtype=np.int64).astype(np.uint8)
+    assert (scale(img, 16, 16, "ApproxBiLinear") == img).all()
+    assert (scale(img, 32, 32, "ApproxBiLinear")
+            == scale(img, 32, 32, "BiLinear")).all()
+    assert not (scale(img, 4, 4, "ApproxBiLinear")
+                == scale(img, 4, 4, "BiLinear")).all()
+    # back-projection of dst 0 at 16->4 lands at sx=1.5: mean of cols 1,2
+    # in the 16-bit domain with Go's ftou/>>8 conversion:
+    # (17+34)/2 * 257 = 6553.5 -> ftou 6554 -> >>8 = 25 (not round(25.5)=26)
+    w16 = np.arange(16, dtype=np.uint8).reshape(1, 16, 1).repeat(16, 0).repeat(3, 2) * 17
+    got = scale(w16, 16, 4, "ApproxBiLinear")
+    expect = int(np.floor((25.5 * 257 + 0.5)) ) >> 8
+    assert int(got[0, 0, 0]) == expect == 25
+
+
 def test_scale_batch_matches_single():
     imgs = RNG.integers(0, 256, (5, 16, 16, 3), dtype=np.int64).astype(np.uint8)
     b = scale_batch(imgs, 8, 8, "CatmullRom")
