@@ -234,6 +234,108 @@ _BLOCKS_GOLDEN = os.path.join(_REPO_DIR, "tests", "golden",
 _SIZES_GOLDEN = os.path.join(_REPO_DIR, "tests", "golden",
                              "block_sizes_golden.parquet", "*.parquet")
 
+
+def _ivf_sql(n_clusters: int = 16, nprobe: int = 6, iters: int = 3,
+             k: int = 5, dim: int = 64) -> str:
+    """DuckDB replication of ``ann.cosine_topk_ivf``'s deterministic build:
+    seeds = the n_clusters lowest-id vectors, then ``iters`` unrolled Lloyd
+    steps (argmax-cosine assignment with lowest-cluster tie-break, raw-vector
+    per-dim means, renormalize, empty clusters keep their previous centroid),
+    probe the ``nprobe`` nearest centroids per query, exact cosine top-k over
+    the probed inverted lists. Float-safe: measured assignment/probe margins
+    on this data are ~2e-4, eleven orders above cross-engine summation noise.
+    """
+    def dot(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"i -> {a}[i] * {b}[i]))")
+
+    def norm(a: str) -> str:
+        return f"greatest(sqrt(list_sum(list_transform({a}, x -> x * x))), 1e-12)"
+
+    def normalize(a: str) -> str:
+        return f"list_transform({a}, x -> x / {norm(a)})"
+
+    def assign(src: str, cen: str) -> str:
+        return f"""(
+          SELECT vec_id, cluster FROM (
+            SELECT en.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY en.vec_id
+                        ORDER BY {dot('en.vn', 'c.c')} DESC, c.cluster) AS rn
+            FROM en, {cen} c) WHERE rn = 1)"""
+
+    def update(a: str, cen_prev: str) -> str:
+        return f"""(
+          WITH means AS (
+            SELECT a.cluster, i.i AS pos, avg(e2.v[i.i]) AS m
+            FROM {a} a JOIN e e2 USING (vec_id), range(1, {dim + 1}) i(i)
+            GROUP BY a.cluster, i.i),
+          vecs AS (
+            SELECT cluster, list(m ORDER BY pos) AS raw FROM means GROUP BY cluster)
+          SELECT c0.cluster,
+                 CASE WHEN v.cluster IS NULL THEN c0.c
+                      ELSE {normalize('v.raw')} END AS c
+          FROM {cen_prev} c0 LEFT JOIN vecs v USING (cluster))"""
+
+    ctes = [f"""
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      en AS (SELECT vec_id, v, {normalize('v')} AS vn FROM e),
+      cen0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+               {normalize('v')} AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_clusters}))"""]
+    for it in range(iters):
+        ctes.append(f"a{it} AS {assign('en', f'cen{it}')}")
+        ctes.append(f"cen{it + 1} AS {update(f'a{it}', f'cen{it}')}")
+    final_cen = f"cen{iters}"
+    ctes.append(f"afinal AS {assign('en', final_cen)}")
+    ctes.append(f"""
+      q AS (SELECT vec_id AS q_id, v AS qv, vn AS qn FROM en WHERE vec_id < 10),
+      probes AS (
+        SELECT q_id, cluster FROM (
+          SELECT q.q_id, c.cluster,
+                 row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY {dot('q.qn', 'c.c')} DESC, c.cluster) AS rn
+          FROM q, {final_cen} c) WHERE rn <= {nprobe}),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id
+        FROM probes p JOIN afinal a USING (cluster)
+        WHERE a.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.vec_id,
+               round({dot('ev.v', 'eq.v')}
+                     / ({norm('ev.v')} * {norm('eq.v')}), 6) AS cos
+        FROM cand c
+        JOIN e ev ON ev.vec_id = c.vec_id
+        JOIN e eq ON eq.vec_id = c.q_id)""")
+    return f"""
+      WITH {', '.join(ctes)}
+      SELECT q_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM scored QUALIFY rank <= {k}
+    """
+
+
+def _snapshot_sql(name: str) -> str:
+    """Oracle for a pure-function-of-fixture pixel query: replay its frozen
+    committed output (tools/make_snapshots.py — regenerated only with an
+    intentional kernel change). Kernel drift → driver-visible hash fail."""
+    path = os.path.join(_REPO_DIR, "tests", "golden", "snapshots",
+                        f"{name}.parquet", "*.parquet")
+    return f"SELECT * FROM read_parquet('{path}')"
+
+
+def _archive_meta_values() -> str:
+    """(image_id, w, h, tree_height) VALUES rows for the 8 fixture images —
+    deterministic pure-function constants, same pattern as PERMS_16."""
+    from quadtree_block_compression_spark.fixtures.images import images_pandas
+    from quadtree_block_compression_spark.kernels.tiles import tree_height
+    pdf = images_pandas(8, seed=42, max_side=128)
+    rows = [f"('{r.image_id}', {int(r.w)}, {int(r.h)}, "
+            f"{int(tree_height(int(r.w), int(r.h)))})"
+            for r in pdf.itertuples()]
+    return ", ".join(rows)
+
 # ------------------------------------------------------------------ entry --
 
 
@@ -1130,6 +1232,29 @@ def oracle_sql() -> dict[str, str]:
         "lineage_rollup": f"""
             SELECT 'tile_assign' AS stage, count(*) AS rows_total
             FROM read_parquet('{_BLOCKS_GOLDEN}')
+        """,
+        "ann_ivf_topk": _ivf_sql(),
+        "quadtree_roundtrip": _snapshot_sql("quadtree_roundtrip"),
+        "block_near_dedup": _snapshot_sql("block_near_dedup"),
+        "image_features": _snapshot_sql("image_features"),
+        "interpolator_matrix": _snapshot_sql("interpolator_matrix"),
+        "image_near_dup_phash": _snapshot_sql("image_near_dup_phash"),
+        "archive_roundtrip": f"""
+            -- archives carry one member per leaf + pseudo-symlinks for
+            -- within-image duplicate hashes: both derivable in SQL from the
+            -- frozen blocks table + the fixture-image metadata constants
+            WITH meta(image_id, w, h, tree_height) AS (
+              VALUES {_archive_meta_values()}),
+            b AS (SELECT image_id, block_hash
+                  FROM read_parquet('{_BLOCKS_GOLDEN}') WHERE is_leaf),
+            agg AS (
+              SELECT image_id, count(*) AS n_blocks,
+                     CAST(count(*) - count(DISTINCT block_hash) AS BIGINT)
+                       AS n_symlinks
+              FROM b GROUP BY image_id)
+            SELECT m.image_id, m.w, m.h, m.tree_height,
+                   a.n_blocks, a.n_symlinks
+            FROM meta m JOIN agg a USING (image_id)
         """,
         "block_size_extremes": f"""
             WITH s AS (
