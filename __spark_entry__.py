@@ -692,12 +692,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def corpus_clean(spark, sf):
         """End-to-end corpus cleaning as ONE oracle-verified plan:
-        fingerprint dedup -> minhash-LSH near-dedup drop -> quality filter."""
+        fingerprint dedup -> minhash-LSH near-dedup drop -> quality filter.
+        Annotation is a single projection (no joins) — see text_analysis.annotate."""
         from pyspark.sql import Window
         (docs,) = _tables(spark, sf, "documents")
-        ann = (docs.join(text_analysis.fingerprint(docs), "doc_id")
-               .join(text_analysis.quality_score(docs), "doc_id")
-               .join(text_analysis.lang_id(docs), "doc_id"))
+        ann = text_analysis.annotate(docs)
         w = Window.partitionBy("fingerprint").orderBy("doc_id")
         exact = (ann.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1).drop("_rn"))

