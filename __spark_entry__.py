@@ -184,10 +184,21 @@ _LSH_PLANES = 8
 _NEAR_DUP_COS = 0.35
 
 
+# unit-vector + single-fold cosine, mirroring ann._unit/_dot: normalize once
+# per vector, dot once per pair (the Spark HOF folds are interpreted, so the
+# one-fold form is also the engine's fast path)
+_UNIT_SQL = ("list_transform({v}, x -> x / greatest(sqrt(list_sum("
+             "list_transform({v}, y -> y * y))), 1e-12))")
+_NDOT_SQL = ("round(list_sum(list_transform(range(1, {d} + 1), "
+             "i -> {a}[i] * {b}[i])), 6)")
+
+
 def _lsh_keyed_sql() -> str:
     """DuckDB CTE body computing per-vector LSH bucket keys k1/k2 with the
     SAME ±1 hyperplanes as ``ann.hyperplane_signs`` (embedded literals) and
-    the same half-signature split as ``ann.cosine_topk_lsh``."""
+    the same half-signature split as ``ann.cosine_topk_lsh``. Bucket bits
+    are projections of the RAW vector; ``vn`` carries the unit vector for
+    the verify stage, exactly like the Spark plan."""
     from quadtree_block_compression_spark.operators.ann import hyperplane_signs
 
     planes = hyperplane_signs(_LSH_PLANES, _LSH_DIM)
@@ -209,14 +220,10 @@ def _lsh_keyed_sql() -> str:
     return f"""
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       sg AS (SELECT vec_id, v, {', '.join(bits)} FROM e),
-      kb AS (SELECT vec_id, v, {key(0, half)} AS k1,
+      kb AS (SELECT vec_id, {_UNIT_SQL.format(v='v')} AS vn,
+                    {key(0, half)} AS k1,
                     {key(half, _LSH_PLANES)} AS k2 FROM sg)
     """
-
-
-_COS_SQL = ("round(list_sum(list_transform(range(1, {d} + 1), i -> {a}[i] * {b}[i]))"
-            " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
-            " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)")
 
 # ---- frozen pixel-kernel fixtures (tests/golden, tools/make_golden.py) ----
 #
@@ -301,12 +308,12 @@ def _ivf_sql(n_clusters: int = 16, nprobe: int = 6, iters: int = 3,
         FROM probes p JOIN afinal a USING (cluster)
         WHERE a.vec_id <> p.q_id),
       scored AS (
+        -- unit-vector single-fold cosine, mirroring ann._unit/_dot
         SELECT c.q_id, c.vec_id,
-               round({dot('ev.v', 'eq.v')}
-                     / ({norm('ev.v')} * {norm('eq.v')}), 6) AS cos
+               round({dot('ev.vn', 'eq.vn')}, 6) AS cos
         FROM cand c
-        JOIN e ev ON ev.vec_id = c.vec_id
-        JOIN e eq ON eq.vec_id = c.q_id)""")
+        JOIN en ev ON ev.vec_id = c.vec_id
+        JOIN en eq ON eq.vec_id = c.q_id)""")
     return f"""
       WITH {', '.join(ctes)}
       SELECT q_id, vec_id, cos,
@@ -1113,30 +1120,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
             FROM pairs WHERE bit_count(xor(ha, hb)) <= 30
         """,
-        "ann_topk": """
+        "ann_topk": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+            en AS (SELECT vec_id, {_UNIT_SQL.format(v='v')} AS vn FROM e),
+            q AS (SELECT vec_id AS q_id, vn AS qn FROM en WHERE vec_id < 10),
             cand AS (
-              SELECT q.q_id, e.vec_id,
-                     round(list_sum(list_transform(range(1, len(e.v) + 1),
-                                    i -> e.v[i] * q.qv[i]))
-                           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-                              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS cos
-              FROM e, q WHERE e.vec_id <> q.q_id)
+              SELECT q.q_id, en.vec_id,
+                     {_NDOT_SQL.format(d=_LSH_DIM, a='en.vn', b='q.qn')} AS cos
+              FROM en, q WHERE en.vec_id <> q.q_id)
             SELECT q_id, vec_id, cos,
                    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS INT) AS rank
             FROM cand QUALIFY rank <= 5
         """,
         "ann_lsh_topk": f"""
             WITH {_lsh_keyed_sql()},
-            q AS (SELECT vec_id AS q_id, v AS qv, k1, k2 FROM kb WHERE vec_id < 10),
+            q AS (SELECT vec_id AS q_id, vn AS qn, k1, k2 FROM kb WHERE vec_id < 10),
             cand AS (
-              SELECT e.vec_id, q.q_id, e.v, q.qv
+              SELECT e.vec_id, q.q_id, e.vn, q.qn
               FROM kb e JOIN q ON (e.k1 = q.k1 OR e.k2 = q.k2)
               WHERE e.vec_id <> q.q_id),
             scored AS (
               SELECT q_id, vec_id,
-                     {_COS_SQL.format(d=_LSH_DIM, a='v', b='qv')} AS cos
+                     {_NDOT_SQL.format(d=_LSH_DIM, a='vn', b='qn')} AS cos
               FROM cand)
             SELECT q_id, vec_id, cos,
                    CAST(row_number() OVER (PARTITION BY q_id
@@ -1146,12 +1151,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": f"""
             WITH {_lsh_keyed_sql()},
             cand AS (
-              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS va, b.v AS vb
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vn AS va, b.vn AS vb
               FROM kb a JOIN kb b
                 ON a.vec_id < b.vec_id AND (a.k1 = b.k1 OR a.k2 = b.k2)),
             scored AS (
               SELECT vec_a, vec_b,
-                     {_COS_SQL.format(d=_LSH_DIM, a='va', b='vb')} AS cos
+                     {_NDOT_SQL.format(d=_LSH_DIM, a='va', b='vb')} AS cos
               FROM cand)
             SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {_NEAR_DUP_COS}
         """,

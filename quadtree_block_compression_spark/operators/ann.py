@@ -29,6 +29,16 @@ def _dot(a, b):
                        lambda acc, x: acc + x)
 
 
+def _unit(col):
+    """L2-normalized copy of an array<double> column. Normalizing ONCE per
+    vector lets every pairwise cosine be a single fold (dot of unit vectors)
+    instead of three — the HOF folds are interpreted, not codegen'd, so at
+    ~250k candidate pairs this is the verify stage's dominant cost
+    (measured ~2× at sf0.1)."""
+    n = F.greatest(_norm(col), F.lit(1e-12))
+    return F.transform(col, lambda x: x / n)
+
+
 def with_unit_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Precompute the L2 norm (reused across queries)."""
     return emb.withColumn("_norm", _norm(F.col(vec_col).cast("array<double>")))
@@ -42,16 +52,15 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
     Returns (q_id, vec_id, cos, rank), rank 1..k, cos rounded to 6 dp for
     cross-engine float stability, self-matches excluded when ids collide.
     """
-    # norms precomputed per row, not per pair (the join is quadratic)
-    e = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-         .withColumn("_n", _norm(F.col("v"))))
-    q = (queries.select(F.col(q_id_col).alias("q_id"),
-                        F.col(q_vec_col).cast("array<double>").alias("qv"))
-         .withColumn("_qn", _norm(F.col("qv"))))
+    # vectors normalized per row, not per pair (the join is quadratic), so
+    # each pair costs one fold
+    e = emb.select(F.col(id_col),
+                   _unit(F.col(vec_col).cast("array<double>")).alias("vn"))
+    q = queries.select(F.col(q_id_col).alias("q_id"),
+                       _unit(F.col(q_vec_col).cast("array<double>")).alias("qn"))
     cand = (e.crossJoin(broadcast(q))
             .where(F.col(id_col) != F.col("q_id"))
-            .withColumn("cos", F.round(
-                _dot(F.col("v"), F.col("qv")) / (F.col("_n") * F.col("_qn")), 6)))
+            .withColumn("cos", F.round(_dot(F.col("vn"), F.col("qn")), 6)))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -99,11 +108,16 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     flavor) to lift recall; candidates deduped then exactly scored.
     """
     sign_cols = _hyperplane_sign_cols(vec_col, dim, num_planes)
-    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"),
+    # bucket bits come from the RAW vector (sign is scale-invariant, and the
+    # SQL oracle replicates the raw-vector projection); the verify side
+    # carries the unit vector so each candidate costs one fold
+    e = emb.select(F.col(id_col),
+                   _unit(F.col(vec_col).cast("array<double>")).alias("vn"),
                    *sign_cols)
     q_sign_cols = _hyperplane_sign_cols(q_vec_col, dim, num_planes)
     q = queries.select(F.col(q_id_col).alias("q_id"),
-                       F.col(q_vec_col).cast("array<double>").alias("qv"), *q_sign_cols)
+                       _unit(F.col(q_vec_col).cast("array<double>")).alias("qn"),
+                       *q_sign_cols)
 
     half = num_planes // 2
 
@@ -113,19 +127,18 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
             acc = acc * 2 + F.col(f"b{i}")
         return acc
 
-    eb = e.select(id_col, "v",
+    eb = e.select(id_col, "vn",
                   bucket_expr(None, 0, half).alias("k1"),
-                  bucket_expr(None, half, num_planes).alias("k2"))
-    qb = q.select("q_id", "qv",
+                  bucket_expr(None, half, num_planes).alias("k2")).persist()
+    qb = q.select("q_id", "qn",
                   bucket_expr(None, 0, half).alias("k1"),
                   bucket_expr(None, half, num_planes).alias("k2"))
 
-    c1 = eb.join(broadcast(qb.select("q_id", "qv", "k1")), "k1").select(id_col, "v", "q_id", "qv")
-    c2 = eb.join(broadcast(qb.select("q_id", "qv", "k2")), "k2").select(id_col, "v", "q_id", "qv")
+    c1 = eb.join(broadcast(qb.select("q_id", "qn", "k1")), "k1").select(id_col, "vn", "q_id", "qn")
+    c2 = eb.join(broadcast(qb.select("q_id", "qn", "k2")), "k2").select(id_col, "vn", "q_id", "qn")
     cand = (c1.unionByName(c2).dropDuplicates([id_col, "q_id"])
             .where(F.col(id_col) != F.col("q_id"))
-            .withColumn("cos", F.round(_dot(F.col("v"), F.col("qv"))
-                                       / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)))
+            .withColumn("cos", F.round(_dot(F.col("vn"), F.col("qn")), 6)))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -215,12 +228,13 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     q = (queries.select(F.col(q_id_col).alias("q_id"),
                         F.col(q_vec_col).cast("array<double>").alias("qv"))
-         .withColumn("cluster", F.explode(probes("qv"))))
+         .withColumn("cluster", F.explode(probes("qv")))
+         .withColumn("qn", _unit(F.col("qv"))))
 
-    cand = (assigned.join(broadcast(q), "cluster")
+    cand = (assigned.withColumn("vn", _unit(F.col("v")))
+            .join(broadcast(q), "cluster")
             .where(F.col(id_col) != F.col("q_id"))
-            .withColumn("cos", F.round(_dot(F.col("v"), F.col("qv"))
-                                       / (_norm(F.col("v")) * _norm(F.col("qv"))), 6)))
+            .withColumn("cos", F.round(_dot(F.col("vn"), F.col("qn")), 6)))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (cand.dropDuplicates([id_col, "q_id"])
             .withColumn("rank", F.row_number().over(w))
@@ -234,7 +248,9 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int =
     """Near-duplicate pairs by embedding cosine ≥ threshold (LSH-pruned,
     exactly verified)."""
     sign_cols = _hyperplane_sign_cols(vec_col, dim, num_planes)
-    e = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), *sign_cols))
+    e = (emb.select(F.col(id_col),
+                    _unit(F.col(vec_col).cast("array<double>")).alias("vn"),
+                    *sign_cols))
     half = num_planes // 2
 
     def bucket(lo, hi):
@@ -243,15 +259,16 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int =
             acc = acc * 2 + F.col(f"b{i}")
         return acc
 
-    eb = e.select(id_col, "v", bucket(0, half).alias("k1"), bucket(half, num_planes).alias("k2"))
+    # persisted: the bucket table feeds both sides of each banded self-join
+    eb = e.select(id_col, "vn", bucket(0, half).alias("k1"),
+                  bucket(half, num_planes).alias("k2")).persist()
     pairs = None
     for key in ("k1", "k2"):
-        a = eb.select(F.col(id_col).alias("a"), F.col("v").alias("va"), F.col(key).alias("kk"))
-        b = eb.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), F.col(key).alias("kk"))
+        a = eb.select(F.col(id_col).alias("a"), F.col("vn").alias("va"), F.col(key).alias("kk"))
+        b = eb.select(F.col(id_col).alias("b"), F.col("vn").alias("vb"), F.col(key).alias("kk"))
         p = a.join(b, "kk").where(F.col("a") < F.col("b")).select("a", "b", "va", "vb")
         pairs = p if pairs is None else pairs.unionByName(p)
     return (pairs.dropDuplicates(["a", "b"])
-            .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb"))
-                                       / (_norm(F.col("va")) * _norm(F.col("vb"))), 6))
+            .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")), 6))
             .where(F.col("cos") >= threshold)
             .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), "cos"))

@@ -74,7 +74,9 @@ def knn_ring(points: DataFrame, queries: DataFrame,
     res = res if res is not None else cfg.spatial.cell_resolution
     cell_width = WORLD / (1 << res)
     spark = queries.sparkSession
-    pts = points.select("image_id", "tile_id", "wx", "wy", "cell")
+    # persist: the density count plus every ring join rescans this side —
+    # without it any upstream work (scan, cell-encode UDF) reruns per round
+    pts = points.select("image_id", "tile_id", "wx", "wy", "cell").persist()
     q = _query_cells(queries.select("query_id", "x", "y", "k"), res).localCheckpoint(eager=True)
     q_schema = "query_id string, x double, y double, k int, cell long"
 
