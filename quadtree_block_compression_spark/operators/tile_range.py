@@ -61,31 +61,30 @@ def tile_range_scan(blocks: DataFrame, x0: float, y0: float, x1: float,
     Morton keys are tile *indices* within each image's padded canvas, so the
     window→ranges decomposition depends on the canvas side. With
     ``side=None`` (default) the distinct sides present at ``level`` are
-    discovered first (side = tile_width · 2^level; one tiny distinct over two
-    pruned int columns — metadata-scale even at 10^12 blocks since there are
-    only O(log max_side) distinct sides) and a per-side range predicate is
-    OR-ed together. Passing an explicit ``side`` skips that lookup but is
-    only correct for single-side block tables: tiles of a canvas *smaller*
-    than ``side`` can carry Morton keys outside the computed ranges and
-    would be silently dropped before the exact verify."""
+    discovered first (side = tile_width · 2^level; one tiny distinct over
+    two pruned int columns — metadata-scale even at 10^12 blocks since
+    there are only O(log max_side) distinct sides) and the UNION of all
+    sides' Morton ranges forms the prefilter. The union is a superset of
+    every individual side's ranges (no drops — the round-1 single-side bug)
+    and stays a pure ``morton BETWEEN`` disjunction, so it pushes down to
+    the parquet scan for row-group pruning (a per-side ``(x1-x0)·2^level =
+    s`` conjunct would not — expressions aren't pushable); tiles another
+    side's range sweeps in are removed by the exact bounds verify.
+    Passing an explicit ``side`` skips the side-discovery job but is only
+    correct for single-side block tables."""
     lv = blocks.filter(F.col("level") == level)
-    side_col = (F.col("x1") - F.col("x0")) * F.lit(1 << level)
     if side is not None:
         sides = [int(side)]
     else:
+        side_col = (F.col("x1") - F.col("x0")) * F.lit(1 << level)
         sides = sorted(int(r.s) for r in
                        lv.select(side_col.cast("long").alias("s")).distinct().collect())
+    keys = [k for s in sides for k in _tiles_overlapping(x0, y0, x1, y1, level, s)]
+    ranges = _to_ranges(np.unique(np.array(keys, dtype=np.int64)))
     pred = None
-    for s in sides:
-        ranges = _to_ranges(_tiles_overlapping(x0, y0, x1, y1, level, s))
-        sp = None
-        for lo, hi in ranges:
-            p = (F.col("morton") >= lo) & (F.col("morton") <= hi)
-            sp = p if sp is None else (sp | p)
-        if sp is None:
-            continue
-        sp = sp if side is not None else (side_col == s) & sp
-        pred = sp if pred is None else (pred | sp)
+    for lo, hi in ranges:
+        p = (F.col("morton") >= lo) & (F.col("morton") <= hi)
+        pred = p if pred is None else (pred | p)
     if pred is None:
         return blocks.limit(0)
     return (lv.filter(pred)
