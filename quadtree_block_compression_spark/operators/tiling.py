@@ -32,17 +32,27 @@ BLOCKS_SCHEMA = ("image_id string, tile_id string, level int, "
 
 
 def assign_tiles(images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
-                 repartition: int | None = None) -> DataFrame:
+                 repartition: int | None = None,
+                 on_error: str = "fail") -> DataFrame:
     """images(image_id, bytes, w, h, fmt, ...) → blocks DataFrame.
 
     Output columns: BLOCKS_SCHEMA + ``block_hash`` (xxhash64 of the 8×8
     block, JVM-side) + ``morton`` (base-4 tile path as an int range key).
     Every node of every tree is a row (interior nodes included, matching the
     reference's eager evaluation, ``quadtreeElement.go:73-74``).
+
+    ``on_error``: ``"fail"`` (default — a decode error fails the task, the
+    strict mode tests and goldens run under) or ``"skip"`` — undecodable
+    images yield no blocks instead of killing the job, which at 10^12-image
+    scale is the only sane policy (corrupt files are a certainty there);
+    pair with :func:`scan_errors` to quarantine and audit the bad rows.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     src = images.select("image_id", "bytes", "w", "h")
     if repartition:
         src = src.repartition(repartition)
+    skip = on_error == "skip"
 
     def tile_batches(batches):
         import pandas as pd
@@ -55,7 +65,12 @@ def assign_tiles(images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
         for pdf in batches:
             parts = []
             for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
-                img = decode_image(bytes(data))
+                try:
+                    img = decode_image(bytes(data))
+                except Exception:
+                    if skip:
+                        continue
+                    raise
                 cols = assign_tiles_image(img, cfg)
                 part = pd.DataFrame(cols)
                 part.insert(0, "image_id", image_id)
@@ -68,6 +83,28 @@ def assign_tiles(images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
             .withColumn("block_hash", F.xxhash64("block_px"))
             .withColumn("morton", F.when(F.col("tile_id") == "", F.lit(0))
                         .otherwise(F.conv("tile_id", 4, 10).cast("long"))))
+
+
+def scan_errors(images: DataFrame) -> DataFrame:
+    """Quarantine scan: (image_id, error) for every row whose payload fails
+    to decode — the audit-side companion of ``assign_tiles(on_error='skip')``
+    (write it next to the blocks table so dropped inputs stay accounted
+    for). One Arrow pass over (image_id, bytes) only."""
+
+    def probe(batches):
+        import pandas as pd
+        from ..kernels.codecs import decode_image
+        for pdf in batches:
+            out = []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    decode_image(bytes(data))
+                except Exception as e:
+                    out.append((image_id, f"{type(e).__name__}: {e}"[:500]))
+            yield pd.DataFrame(out, columns=["image_id", "error"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        probe, "image_id string, error string")
 
 
 def leaf_blocks(blocks: DataFrame, skip_oob: bool = False) -> DataFrame:

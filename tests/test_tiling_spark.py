@@ -112,3 +112,30 @@ def test_explain_no_python_in_hash_path(blocks):
     """block_hash/morton must be JVM-side (no BatchEvalPython above them)."""
     plan = blocks.select("block_hash", "morton")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_assign_tiles_on_error_policy(spark, tiny_images):
+    """Corrupt payloads: default mode fails loudly; skip mode drops exactly
+    the bad images and scan_errors accounts for every dropped row — at
+    10^12-image scale one bad file must not kill the job."""
+    import pandas as pd
+    from quadtree_block_compression_spark.operators.tiling import (
+        assign_tiles, scan_errors)
+    good = tiny_images.limit(3)
+    bad = spark.createDataFrame(pd.DataFrame([
+        {"image_id": "corrupt_1", "bytes": b"\x00\x01garbage", "w": 8, "h": 8,
+         "fmt": "png", "caption": "", "phash": 0},
+        {"image_id": "corrupt_2", "bytes": b"\x89PNG\r\n\x1a\ntruncated", "w": 8,
+         "h": 8, "fmt": "png", "caption": "", "phash": 0}]))
+    mixed = good.unionByName(bad)
+    with pytest.raises(Exception):
+        assign_tiles(mixed).count()                      # strict default
+    blocks = assign_tiles(mixed, on_error="skip")
+    got_ids = {r.image_id for r in blocks.select("image_id").distinct().collect()}
+    want_ids = {r.image_id for r in good.select("image_id").collect()}
+    assert got_ids == want_ids
+    errs = {r.image_id: r.error for r in scan_errors(mixed).collect()}
+    assert set(errs) == {"corrupt_1", "corrupt_2"}
+    assert all(e for e in errs.values())
+    with pytest.raises(ValueError):
+        assign_tiles(mixed, on_error="quarantine")
