@@ -225,9 +225,16 @@ def main() -> None:
                 "host_compute_control_eff": round(
                     (ctrl[hi] / ctrl[lo]) / 4.0, 3),
             }
-            # headline throughput at full load (the 192-image sweep number
-            # above is a small-batch sanity figure, not the capability)
-            result["blocks_per_sec_full_load"] = scale_report[hi]["blocks_per_sec"]
+            # headline throughput at full machine occupancy (the capability
+            # number, comparable across rounds) — measured separately from
+            # the efficiency pair, which runs at ≤50% occupancy to dodge the
+            # host's full-load downclock (see comment above)
+            if CPUS > hi:
+                full = _run_scale_level(CPUS, n_scale)
+                result["scaling"][f"local{CPUS}_full_occupancy"] = full
+                result["blocks_per_sec_full_load"] = full["blocks_per_sec"]
+            else:
+                result["blocks_per_sec_full_load"] = scale_report[hi]["blocks_per_sec"]
         except Exception as e:  # never lose the JSON line to a scaling hiccup
             result["scaling"] = {"error": str(e)[:500]}
 
