@@ -242,6 +242,71 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
             .select("q_id", F.col(id_col), "cos", "rank"))
 
 
+def ivf_write_index(emb: DataFrame, path: str, n_clusters: int = 16,
+                    iters: int = 3, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> "object":
+    """Materialize the IVF index at rest: the assignment table written
+    ``partitionBy(cluster)`` (each inverted list is its own partition
+    directory, so a probe's scan prunes to exactly its lists via partition
+    pruning — no row even considered outside the probed clusters) plus the
+    tiny centroid matrix as JSON next to it. Returns the centroids array."""
+    import json
+    import os
+
+    assigned, centroids = ivf_build(emb, k=n_clusters, iters=iters,
+                                    vec_col=vec_col, id_col=id_col)
+    (assigned.repartition("cluster")
+     .write.mode("overwrite").partitionBy("cluster").parquet(path))
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump({"n_clusters": n_clusters, "iters": iters,
+                   "centroids": centroids.tolist()}, f)
+    return centroids
+
+
+def ivf_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
+                    nprobe: int = 4, q_id_col: str = "q_id",
+                    q_vec_col: str = "q_vec", id_col: str = "vec_id") -> DataFrame:
+    """Query a materialized IVF index: rank centroids driver-side (k×dim is
+    tiny), push an ``isin(probed clusters)`` predicate into the partitioned
+    scan (PartitionFilters — verified in tools/plan_audit.py), exact cosine
+    + window top-k on just those lists."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        meta = json.load(f)
+    cen = np.array(meta["centroids"], dtype=np.float64)
+    nprobe = min(nprobe, len(cen))
+
+    @pandas_udf("array<int>")
+    def probes(qv):  # type: ignore[misc]
+        import pandas as pd
+        M = np.stack(qv.to_numpy())
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(Mn @ cen.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = (queries.select(F.col(q_id_col).alias("q_id"),
+                        F.col(q_vec_col).cast("array<double>").alias("qv"))
+         .withColumn("cluster", F.explode(probes("qv")))
+         .withColumn("qn", _unit(F.col("qv"))))
+    probed = [int(r.cluster) for r in q.select("cluster").distinct().collect()]
+    index = (spark.read.parquet(path)
+             .where(F.col("cluster").isin(probed))  # partition pruning
+             .withColumn("vn", _unit(F.col("v"))))
+    cand = (index.join(broadcast(q), "cluster")
+            .where(F.col(id_col) != F.col("q_id"))
+            .withColumn("cos", F.round(_dot(F.col("vn"), F.col("qn")), 6)))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (cand.dropDuplicates([id_col, "q_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", F.col(id_col), "cos", "rank"))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int = 64,
                              num_planes: int = 8, vec_col: str = "embedding",
                              id_col: str = "vec_id") -> DataFrame:

