@@ -51,6 +51,25 @@ def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                  _micro_sum("value").alias("sum_value_micros")))
 
 
+def streaming_session_counts(source_df: DataFrame, gap_minutes: int = 30,
+                             watermark: str = "2 hours") -> DataFrame:
+    """Structured Streaming form of ``session_windows`` using the native
+    ``session_window`` aggregation (merging windows + watermark eviction —
+    the scale path for live sessionization; the batch lag/cumsum form stays
+    the oracle-checkable twin). Boundary semantics: an event exactly
+    ``gap`` after its predecessor starts a NEW session here, while the
+    batch form's ``gap > threshold`` keeps it — identical on any data
+    without exact-gap spacing."""
+    return (source_df.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+                     "user_id")
+            .agg(F.count("*").alias("n_events"),
+                 _micro_sum("value").alias("sum_value_micros"))
+            .select("user_id", F.col("win.start").alias("session_start"),
+                    F.col("win.end").alias("session_end"),
+                    "n_events", "sum_value_micros"))
+
+
 def streaming_event_counts(spark, source_df: DataFrame | None = None,
                            minutes: int = 60, watermark: str = "2 hours"):
     """Structured Streaming form of ``tumbling_event_counts``.

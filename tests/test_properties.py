@@ -102,3 +102,49 @@ def test_quadtree_invariants_random_images(seed, w, h):
     # morton keys consistent with paths
     for tid in out["tile_id"]:
         assert morton_key(tid) == (int(tid, 4) if tid else 0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40),
+    min_size=1, max_size=8))
+def test_portable_hash_cross_engine_property(texts):
+    """The Spark⇄DuckDB portable hash contract must hold for ARBITRARY
+    unicode, not just the word-soup corpus: hash64 and every MinHash
+    permutation agree bit-for-bit between engines."""
+    import duckdb
+    import hashlib
+    from quadtree_block_compression_spark.functions.portable_hash import (
+        PERMS_16, MINHASH_PRIME, minhash_perm_sql, portable_hash64_sql)
+    con = duckdb.connect()
+    for t in texts:
+        # python reference: first 15 md5 hex digits as int
+        ref = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        got = con.execute(
+            f"SELECT {portable_hash64_sql('?')}, {minhash_perm_sql('?2', 3)}",
+            [t, ref]).fetchone()
+        assert got[0] == ref
+        a, b = PERMS_16[3]
+        assert got[1] == (ref * a + b) % MINHASH_PRIME
+
+
+def test_portable_hash_spark_side_adversarial(spark):
+    """Spark's conv(substring(md5..)) implementation of the portable hash
+    agrees with the python/DuckDB reference on adversarial strings (unicode,
+    quotes, control chars, empty)."""
+    import hashlib
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from quadtree_block_compression_spark.functions.portable_hash import (
+        PERMS_16, MINHASH_PRIME, minhash_perm, portable_hash64)
+    cases = ["", " ", "a", "üß€ 棋盘 \U0001f642",
+             'quo"te', "back\\slash", "new\nline", "tab\tsep",
+             "ends with space ", "'; DROP TABLE docs; --", "é" * 100]
+    df = spark.createDataFrame(pd.DataFrame({"s": cases}))
+    rows = df.select("s", portable_hash64(F.col("s")).alias("h"),
+                     minhash_perm(portable_hash64(F.col("s")), 5).alias("m")).collect()
+    a, b = PERMS_16[5]
+    for r in rows:
+        ref = int(hashlib.md5(r.s.encode("utf-8")).hexdigest()[:15], 16)
+        assert r.h == ref, repr(r.s)
+        assert r.m == (ref * a + b) % MINHASH_PRIME, repr(r.s)
