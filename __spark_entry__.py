@@ -1243,6 +1243,9 @@ def oracle_sql() -> dict[str, str]:
         "image_features": _snapshot_sql("image_features"),
         "interpolator_matrix": _snapshot_sql("interpolator_matrix"),
         "image_near_dup_phash": _snapshot_sql("image_near_dup_phash"),
+        # pure function of the (SF-constant) nation keys; no SQL engine can
+        # decode RIFF, but the frozen output pins the decoder driver-visibly
+        "audio_features": _snapshot_sql("audio_features"),
         "archive_roundtrip": f"""
             -- archives carry one member per leaf + pseudo-symlinks for
             -- within-image duplicate hashes: both derivable in SQL from the

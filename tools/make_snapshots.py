@@ -29,6 +29,9 @@ SNAPSHOT_QUERIES = [
     "image_features",
     "interpolator_matrix",
     "image_near_dup_phash",
+    # WAV decode is pure-function-of-nation-keys, and the TPC-H nation table
+    # is constant across scale factors — snapshot-safe
+    "audio_features",
 ]
 
 
