@@ -239,6 +239,9 @@ def decode_jfif(data: bytes) -> np.ndarray:
         pos += seglen
     if not scan:
         raise ValueError("no SOS found")
+    if len(scan) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(scan)}-component JPEG (CMYK/Adobe) not supported")
 
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
