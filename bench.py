@@ -85,16 +85,17 @@ def tile_assign_output_hash(spark, n_images: int) -> int:
     return int(row.s) ^ int(row.n)
 
 
-def _scale_worker(cores: int, n_scale: int) -> None:
+def _scale_worker(cores: int, n_scale: int, reps: int = 3,
+                  with_hash: bool = True) -> None:
     """Subprocess body for one scaling measurement (run under taskset)."""
     s = _session(cores)
     tile_assign_run(s, 1024, cores)
     times = []
-    for _ in range(3):
+    for _ in range(reps):
         dt, nb = tile_assign_run(s, n_scale, cores)
         times.append(dt)
-    dt = sorted(times)[1]  # median-of-3: the box shows shared-VM jitter
-    out_hash = tile_assign_output_hash(s, n_scale)
+    dt = sorted(times)[len(times) // 2]  # median: the box shows VM jitter
+    out_hash = tile_assign_output_hash(s, n_scale) if with_hash else None
     s.stop()
     print("SCALE_RESULT " + json.dumps(
         {"seconds": round(dt, 3), "blocks": nb,
@@ -127,14 +128,16 @@ def _run_control_level(cores: int) -> float:
     return cores / (time.time() - t0)
 
 
-def _run_scale_level(cores: int, n_scale: int) -> dict:
+def _run_scale_level(cores: int, n_scale: int, reps: int = 3,
+                     with_hash: bool = True) -> dict:
     """Run one level in a CPU-pinned subprocess: local[N] must only see N
     CPUs (as an N-core executor would), else JVM/GC/python threads spill
     onto idle cores and inflate the small-N baseline."""
     import shutil
     import subprocess
     cmd = [sys.executable, os.path.abspath(__file__),
-           "--scale-worker", str(cores), str(n_scale)]
+           "--scale-worker", str(cores), str(n_scale), str(reps),
+           str(int(with_hash))]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
@@ -149,7 +152,8 @@ def main() -> None:
 
     if "--scale-worker" in sys.argv:
         i = sys.argv.index("--scale-worker")
-        _scale_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        _scale_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                      int(sys.argv[i + 3]), bool(int(sys.argv[i + 4])))
         return
 
     # scaling evidence is part of the default run (disable with --no-scaling
@@ -211,15 +215,29 @@ def main() -> None:
             lo, hi = (int(x) for x in
                       os.environ.get("QBCS_SCALE_LEVELS", "4,16").split(","))
             assert hi == 4 * lo, "scaling pair must be N,4N"
-            scale_report = {cores: _run_scale_level(cores, n_scale)
-                            for cores in (lo, hi)}
-            eff = (scale_report[hi]["blocks_per_sec"]
-                   / scale_report[lo]["blocks_per_sec"]) / 4.0
+            # INTERLEAVED A-B pairs, median of per-pair ratios: host delivery
+            # on this shared VM drifts on a minutes timescale, so measuring
+            # all of level N and then all of level 4N lets a slow window hit
+            # one side only and swing a single-shot ratio ±0.15. Temporally
+            # adjacent pairs cancel the drift; the median of 3 pair ratios
+            # drops any pair a window boundary still split.
+            pairs = int(os.environ.get("QBCS_SCALE_PAIRS", "3"))
+            pair_effs = []
+            scale_report = {}
+            for i in range(pairs):
+                rlo = _run_scale_level(lo, n_scale, reps=1, with_hash=(i == 0))
+                rhi = _run_scale_level(hi, n_scale, reps=1, with_hash=(i == 0))
+                pair_effs.append(round(
+                    (rhi["blocks_per_sec"] / rlo["blocks_per_sec"]) / 4.0, 3))
+                if i == 0:
+                    scale_report = {lo: rlo, hi: rhi}
+            eff = sorted(pair_effs)[len(pair_effs) // 2]
             ctrl = {c: _run_control_level(c) for c in (lo, hi)}
             result["scaling"] = {
                 f"local{lo}": scale_report[lo], f"local{hi}": scale_report[hi],
                 "n_cores": lo, "n4_cores": hi,
-                "efficiency_n_to_4n": round(eff, 3),
+                "pair_efficiencies": pair_effs,
+                "efficiency_n_to_4n": eff,
                 "outputs_identical": scale_report[lo]["output_hash"]
                 == scale_report[hi]["output_hash"],
                 "host_compute_control_eff": round(
@@ -230,7 +248,7 @@ def main() -> None:
             # the efficiency pair, which runs at ≤50% occupancy to dodge the
             # host's full-load downclock (see comment above)
             if CPUS > hi:
-                full = _run_scale_level(CPUS, n_scale)
+                full = _run_scale_level(CPUS, n_scale, reps=1, with_hash=False)
                 result["scaling"][f"local{CPUS}_full_occupancy"] = full
                 result["blocks_per_sec_full_load"] = full["blocks_per_sec"]
             else:
