@@ -43,6 +43,10 @@ _BANDS = 4
 # docs contributes d²/2 candidate pairs, so the graded plan always runs with
 # the cap ACTIVE (ubiquitous boilerplate shingles are dropped at web scale)
 _MAX_DF = 100
+# same hazard class for the LSH band buckets and SimHash segment buckets:
+# a degenerate bucket squares inside the self-join, so the graded plans cap
+# bucket size (mirrored in the oracles)
+_MAX_BUCKET = 100
 
 
 def _tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -511,7 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_lsh_pairs(spark, sf):
         (docs,) = _tables(spark, sf, "documents")
         return dedup_text.minhash_lsh_pairs(docs, n=_NGRAM_N, num_perm=_NUM_PERM,
-                                            bands=_BANDS, threshold=_JACCARD_T)
+                                            bands=_BANDS, threshold=_JACCARD_T,
+                                            max_bucket=_MAX_BUCKET)
 
     def simhash_docs(spark, sf):
         (docs,) = _tables(spark, sf, "documents")
@@ -519,7 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash_pairs(spark, sf):
         (docs,) = _tables(spark, sf, "documents")
-        return dedup_text.simhash_pairs(docs, max_hamming=30)
+        return dedup_text.simhash_pairs(docs, max_hamming=30,
+                                        max_bucket=_MAX_BUCKET)
 
     # ---------------- embeddings / ANN ------------------------------------
 
@@ -708,7 +714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = (ann.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") == 1).drop("_rn"))
         pairs = dedup_text.minhash_lsh_pairs(exact, n=_NGRAM_N, num_perm=_NUM_PERM,
-                                             bands=_BANDS, threshold=0.5)
+                                             bands=_BANDS, threshold=0.5,
+                                             max_bucket=_MAX_BUCKET)
         drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         clean = exact.join(drops, "doc_id", "left_anti")
         return (clean.filter(F.col("quality") >= 0.5)
@@ -935,7 +942,7 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE length(shingle) > 0),
             hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh),
             sig AS (SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id),
-            bucketed AS (
+            bucketed0 AS (
               SELECT DISTINCT doc_id, band, key FROM (
                 SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
                 UNION ALL
@@ -944,6 +951,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
                 UNION ALL
                 SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
+            bucketed AS (
+              SELECT b.* FROM bucketed0 b
+              JOIN (SELECT band, key FROM bucketed0
+                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
+                USING (band, key)),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bucketed a JOIN bucketed b
@@ -1062,7 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SIG_SQL,
         "minhash_lsh_pairs": f"""
             WITH sig AS ({_MINHASH_SIG_SQL}),
-            bucketed AS (
+            bucketed0 AS (
               SELECT DISTINCT doc_id, band, key FROM (
                 SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
                 UNION ALL
@@ -1071,6 +1083,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
                 UNION ALL
                 SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
+            -- mirrors max_bucket={_MAX_BUCKET}: degenerate band buckets are
+            -- dropped before the self-join on both engines
+            bucketed AS (
+              SELECT b.* FROM bucketed0 b
+              JOIN (SELECT band, key FROM bucketed0
+                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
+                USING (band, key)),
             cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bucketed a JOIN bucketed b
@@ -1107,16 +1126,25 @@ def oracle_sql() -> dict[str, str]:
             sig AS (
               SELECT doc_id, {simhash_bits_sql} AS simhash
               FROM hashed GROUP BY doc_id),
+            keyed0 AS (
+              SELECT doc_id, simhash, 0 AS si, (simhash >> 0) & 32767 AS sv FROM sig
+              UNION ALL
+              SELECT doc_id, simhash, 1, (simhash >> 15) & 32767 FROM sig
+              UNION ALL
+              SELECT doc_id, simhash, 2, (simhash >> 30) & 32767 FROM sig
+              UNION ALL
+              SELECT doc_id, simhash, 3, (simhash >> 45) & 32767 FROM sig),
+            -- mirrors max_bucket={_MAX_BUCKET} on the segment buckets
             keyed AS (
-              SELECT doc_id, simhash,
-                     (simhash >> 0) & 32767 AS seg0, (simhash >> 15) & 32767 AS seg1,
-                     (simhash >> 30) & 32767 AS seg2, (simhash >> 45) & 32767 AS seg3
-              FROM sig),
+              SELECT k.* FROM keyed0 k
+              JOIN (SELECT si, sv FROM keyed0
+                    GROUP BY si, sv HAVING count(*) <= {_MAX_BUCKET}) g
+                USING (si, sv)),
             pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.simhash AS ha, b.simhash AS hb
-              FROM keyed a JOIN keyed b ON a.doc_id < b.doc_id
-               AND (a.seg0 = b.seg0 OR a.seg1 = b.seg1 OR a.seg2 = b.seg2 OR a.seg3 = b.seg3))
+              FROM keyed a JOIN keyed b
+                ON a.si = b.si AND a.sv = b.sv AND a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
             FROM pairs WHERE bit_count(xor(ha, hb)) <= 30
         """,

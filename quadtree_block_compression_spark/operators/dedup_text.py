@@ -120,12 +120,19 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 8,
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
                       bands: int = 4, threshold: float = 0.5,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band, verified by exact Jaccard.
 
     rows-per-band = num_perm // bands. The verify step recomputes true
     shingle Jaccard for candidates only — the output is therefore exact on
     the candidate set (and deterministic), which is what the oracle checks.
+
+    ``max_bucket`` drops band buckets holding more than that many docs
+    before the self-join: a degenerate bucket of d docs (boilerplate pages
+    sharing a signature at web scale) contributes d²/2 candidate pairs.
+    Members of a dropped bucket still meet through their other bands — and
+    truly identical docs are the *exact* tier's job anyway.
     """
     rows_per_band = num_perm // bands
     # ONE shingle pass feeds signatures, sizes, and both verify sides (the
@@ -141,7 +148,13 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
                                   portable_hash64(F.concat_ws("_", *parts)).alias("key")))
     bucketed = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
                 .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-                .distinct()).persist()
+                .distinct())
+    if max_bucket is not None:
+        sizes_b = bucketed.groupBy("band", "key").agg(F.count("*").alias("_bn"))
+        bucketed = bucketed.join(
+            sizes_b.where(F.col("_bn") <= max_bucket).select("band", "key"),
+            ["band", "key"])
+    bucketed = bucketed.persist()
     a = bucketed.select(F.col(id_col).alias("a"), "band", "key")
     b = bucketed.select(F.col(id_col).alias("b"), "band", "key")
     cand = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
@@ -190,14 +203,17 @@ def simhash64(docs: DataFrame, text_col: str = "text",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
                   text_col: str = "text", id_col: str = "doc_id",
-                  prefix_bits: int = 12) -> DataFrame:
+                  prefix_bits: int = 12,
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Banding on bit-prefixes prunes the quadratic pair space: docs agreeing on
     any of the 4 non-overlapping 15-bit segments meet; Hamming verified with
     ``bit_count`` (JVM). Recall is exact for max_hamming ≤ 3 (pigeonhole on 4
     segments); beyond that it is the standard probabilistic trade — the
-    operator exposes the knob.
+    operator exposes the knob. ``max_bucket`` caps segment-bucket size like
+    the MinHash tier (a web-scale degenerate segment value would otherwise
+    square inside the self-join).
     """
     # explode the 4 segments to rows and self-join ONCE on (segment index,
     # segment value) instead of four unioned joins — one shuffle over 4n
@@ -212,6 +228,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
     keyed = (sig.select(id_col, "simhash", F.explode(segs).alias("sg"))
              .select(id_col, "simhash",
                      F.col("sg.si").alias("si"), F.col("sg.sv").alias("sv")))
+    if max_bucket is not None:
+        sizes_k = keyed.groupBy("si", "sv").agg(F.count("*").alias("_bn"))
+        keyed = keyed.join(
+            sizes_k.where(F.col("_bn") <= max_bucket).select("si", "sv"),
+            ["si", "sv"])
     a = keyed.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "si", "sv")
     b = keyed.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "si", "sv")
     return (a.join(b, ["si", "sv"]).where(F.col("a") < F.col("b"))

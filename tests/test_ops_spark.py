@@ -77,6 +77,31 @@ def test_minhash_lsh_finds_dups(docs):
     assert all(j >= 0.3 for j in pairs.values())
 
 
+def test_bucket_caps_bound_degenerate_joins(spark):
+    """A boilerplate cluster sharing every signature must be droppable from
+    the LSH/SimHash self-joins via max_bucket (the d²/2 blowup guard);
+    distinct docs keep meeting through their own buckets."""
+    from quadtree_block_compression_spark.operators.dedup_text import (
+        minhash_lsh_pairs, simhash_pairs)
+    boiler = "the same boilerplate footer text appears on every single page"
+    rows = [(i, boiler) for i in range(12)]
+    rows += [(100, "a genuinely unique document about gardens and rivers flowing"),
+             (101, "a genuinely unique document about gardens and rivers flowing")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the 12-doc boilerplate bucket yields 66 pairs + the near pair
+    full = minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4, threshold=0.1)
+    assert full.count() >= 66
+    # capped below the cluster size: boilerplate pairs vanish, 100-101 survive
+    capped = minhash_lsh_pairs(docs, n=3, num_perm=8, bands=4, threshold=0.1,
+                               max_bucket=8)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(100, 101)}
+    sim_capped = simhash_pairs(docs, max_hamming=30, max_bucket=8)
+    sgot = {(r.doc_a, r.doc_b) for r in sim_capped.collect()}
+    assert (100, 101) in sgot
+    assert not any(a < 100 and b < 100 for a, b in sgot)
+
+
 def test_simhash_dup_distance(docs):
     from quadtree_block_compression_spark.operators.dedup_text import simhash64, simhash_pairs
     sigs = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
