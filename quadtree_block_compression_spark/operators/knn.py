@@ -75,8 +75,11 @@ def knn_ring(points: DataFrame, queries: DataFrame,
     cell_width = WORLD / (1 << res)
     spark = queries.sparkSession
     # persist: the density count plus every ring join rescans this side —
-    # without it any upstream work (scan, cell-encode UDF) reruns per round
-    pts = points.select("image_id", "tile_id", "wx", "wy", "cell").persist()
+    # without it any upstream work (scan, cell-encode UDF) reruns per round.
+    # Tracked so the big side is released at the next query boundary rather
+    # than pinned in the block manager for the session lifetime.
+    from ..functions.cache import persist_tracked
+    pts = persist_tracked(points.select("image_id", "tile_id", "wx", "wy", "cell"))
     q = _query_cells(queries.select("query_id", "x", "y", "k"), res).localCheckpoint(eager=True)
     q_schema = "query_id string, x double, y double, k int, cell long"
 

@@ -9,10 +9,11 @@ signature and batch shape are the real, tested plumbing.
 
 Image decode/resize use this repo's own numpy codecs (real). Audio decode is
 REAL for RIFF/WAVE PCM (stdlib ``wave`` + numpy — 8/16/24/32-bit widths, any
-channel count); compressed audio (mp3/flac/ogg) and video frame-sampling
-remain STUBS — the container has no soundfile/ffmpeg — that raise
-``NotImplementedError`` for real formats but implement a deterministic fake
-('QAUD'/'QVID' headers) so the Spark plumbing is exercised end-to-end.
+channel count). Video decode is REAL for Motion-JPEG in RIFF/AVI
+(``kernels/avi.py`` demux + the JFIF decoder). Inter-frame video codecs and
+compressed audio (mp3/flac/ogg) raise ``NotImplementedError`` — the
+container has no soundfile/ffmpeg; the deterministic 'QAUD'/'QVID' fakes
+remain accepted so the plumbing has adversarial coverage.
 """
 
 from __future__ import annotations
@@ -156,34 +157,86 @@ def audio_features(audio: DataFrame, id_col: str = "clip_id",
     return src.mapInPandas(dec, AUDIO_FEATURES_SCHEMA.format(id=id_col))
 
 
-def video_frame_sample_stub(video: DataFrame, every_n: int = 10,
-                            id_col: str = "video_id", bytes_col: str = "bytes") -> DataFrame:
-    """Frame sampling plumbing (1 row in → N frame rows out). QVID fake:
-    header (h, w, n_frames) + raw RGB frames; real containers raise."""
+VIDEO_SAMPLE_SCHEMA = ("{id} long, frame_idx int, w int, h int, "
+                       "mean_r double, mean_g double, mean_b double, "
+                       "frame_png binary")
+
+
+def video_frame_sample(video: DataFrame, every_n: int = 10,
+                       id_col: str = "video_id",
+                       bytes_col: str = "bytes") -> DataFrame:
+    """Sample every ``every_n``-th frame (1 row in → N frame rows out).
+
+    REAL decode path: Motion-JPEG in a RIFF/AVI container (``kernels/avi.py``
+    demux + this repo's JFIF decoder) — the standard uncompressed-pipeline
+    interchange format, feasible without ffmpeg. The QVID deterministic fake
+    stays accepted for adversarial plumbing tests; other containers raise
+    (no inter-frame codecs in this environment). One Arrow pass; each frame
+    row carries dims, channel means and a PNG re-encode."""
     src = video.select(id_col, bytes_col)
 
     def sample(batches):
         import struct
         import numpy as np
         import pandas as pd
+        from ..kernels.avi import is_avi, mjpeg_frames
         from ..kernels.codecs import encode_png
+        from ..kernels.jfif import decode_jfif
         for pdf in batches:
             out = []
             for vid, data in zip(pdf[id_col], pdf[bytes_col]):
                 data = bytes(data)
-                if data[:4] != VID_SIG:
+                if is_avi(data):
+                    payloads = mjpeg_frames(data)
+                    frames = ((f, decode_jfif(payloads[f]))
+                              for f in range(0, len(payloads), every_n))
+                elif data[:4] == VID_SIG:
+                    h, w, nf = struct.unpack(">III", data[4:16])
+                    sz = h * w * 3
+                    frames = ((f, np.frombuffer(
+                        data[16 + f * sz:16 + (f + 1) * sz],
+                        dtype=np.uint8).reshape(h, w, 3))
+                        for f in range(0, nf, every_n))
+                else:
                     raise NotImplementedError(
-                        "real video demuxing unavailable in this environment; "
-                        "payload must be QVID (deterministic test container)")
-                h, w, nf = struct.unpack(">III", data[4:16])
-                sz = h * w * 3
-                for f in range(0, nf, every_n):
-                    frame = np.frombuffer(data[16 + f * sz:16 + (f + 1) * sz],
-                                          dtype=np.uint8).reshape(h, w, 3)
-                    out.append((vid, f, encode_png(frame)))
-            yield pd.DataFrame(out, columns=[id_col, "frame_idx", "frame_png"])
+                        "inter-frame video codecs unavailable in this "
+                        "environment; payload must be MJPEG/AVI or QVID")
+                for f, frame in frames:
+                    out.append((vid, f, frame.shape[1], frame.shape[0],
+                                float(frame[..., 0].mean()),
+                                float(frame[..., 1].mean()),
+                                float(frame[..., 2].mean()),
+                                encode_png(frame)))
+            yield pd.DataFrame(out, columns=[id_col, "frame_idx", "w", "h",
+                                             "mean_r", "mean_g", "mean_b",
+                                             "frame_png"])
 
-    return src.mapInPandas(sample, f"{id_col} long, frame_idx int, frame_png binary")
+    return src.mapInPandas(sample, VIDEO_SAMPLE_SCHEMA.format(id=id_col))
+
+
+def video_frame_sample_stub(video: DataFrame, every_n: int = 10,
+                            id_col: str = "video_id",
+                            bytes_col: str = "bytes") -> DataFrame:
+    """Backwards-compatible alias from when only the QVID fake existed."""
+    return video_frame_sample(video, every_n, id_col, bytes_col)
+
+
+def make_mjpeg_avi_clip(video_id: int, h: int = 32, w: int = 48,
+                        nf: int = 12, fps: int = 10) -> bytes:
+    """Deterministic MJPEG/AVI bytes for tests/queries: a drifting gradient
+    with a moving bright block, JFIF 4:2:0 per frame."""
+    import numpy as np
+    from ..kernels.avi import encode_mjpeg_avi
+    frames = []
+    base = (np.linspace(0, 200, w)[None, :, None]
+            * np.ones((h, 1, 3))).astype(np.float64)
+    for f in range(nf):
+        img = base + 4.0 * f
+        x = (video_id * 3 + f * 2) % max(w - 8, 1)
+        y = (video_id * 5 + f) % max(h - 8, 1)
+        img[y:y + 8, x:x + 8] = 240.0
+        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+    return encode_mjpeg_avi(frames, fps=fps, quality=85, subsampling="420")
 
 
 def make_wav_pcm16(clip_id: int, sr: int = 16000, n_frames: int = 1600,

@@ -134,6 +134,8 @@ def annotate(docs: DataFrame, text_col: str = "text",
     projection — the corpus-cleaning annotate stage without a single join
     or shuffle (the join-per-annotation form costs three shuffles and three
     extra scans of the corpus at 100 TB)."""
+    from ..functions.parallelism import spread
+    docs = spread(docs)  # regex-heavy projection: use every core on tiny scans
     fp, norm_len = _fingerprint_exprs(text_col)
     lang_pred, lang_score = _lang_exprs(text_col)
     f = _quality_feature_exprs(text_col)

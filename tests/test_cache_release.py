@@ -1,0 +1,69 @@
+"""Cache lifecycle: every operator persist is tracked and releasable.
+
+Round-2 finding: seven ``persist()`` sites with zero ``unpersist()`` leaked
+cached plans into the block manager for the session lifetime. Every persist
+now routes through ``functions.cache.persist_tracked``; the driver entry
+releases at query boundaries. These tests prove the contract: after running
+each persisting query and releasing, the SQL cache manager is empty.
+"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from quadtree_block_compression_spark.functions.cache import (
+    persist_tracked, release_caches, tracked_count)
+
+SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
+
+# the complete set of graded queries whose operators persist intermediates
+PERSISTING_QUERIES = [
+    "ngram_jaccard", "minhash_lsh_pairs", "simhash_pairs", "corpus_clean",
+    "ann_lsh_topk", "embedding_near_dup", "knn_points",
+]
+
+
+def _sql_cache_size(spark) -> int:
+    return spark._jsparkSession.sharedState().cacheManager().cachedData().size()
+
+
+def test_persist_tracked_registers_and_releases(spark):
+    df = spark.range(10)
+    release_caches()  # clean slate
+    base = _sql_cache_size(spark)  # session fixtures may hold their own caches
+    persist_tracked(df)
+    assert tracked_count() == 1
+    assert df.count() == 10
+    assert _sql_cache_size(spark) == base + 1
+    assert release_caches() == 1
+    assert tracked_count() == 0
+    assert _sql_cache_size(spark) == base
+
+
+@pytest.mark.parametrize("name", PERSISTING_QUERIES)
+def test_no_orphaned_cache_after_release(spark, name):
+    """Run each persisting graded query, release, assert nothing cached —
+    the loop-all proof that a long-lived driver session cannot accumulate
+    block-manager residue across queries."""
+    qs = entrymod.queries()
+    base = _sql_cache_size(spark)  # unrelated session fixtures may be cached
+    assert qs[name](spark, SF_DIR).count() >= 0
+    release_caches()
+    assert _sql_cache_size(spark) == base, f"{name} left cached plans behind"
+
+
+def test_query_boundary_releases_previous_caches(spark):
+    """The queries() wrapper itself releases at the next query start, so
+    even a driver that never calls release_caches() is bounded to one
+    query's caches at a time."""
+    qs = entrymod.queries()
+    release_caches()
+    base = _sql_cache_size(spark)
+    qs["ngram_jaccard"](spark, SF_DIR).count()
+    assert tracked_count() > 0  # ngram's shingle cache is registered
+    # invoking ANY other query releases ngram's caches before building
+    qs["dedup_exact_docs"](spark, SF_DIR).count()
+    qs["fingerprint_docs"](spark, SF_DIR)  # build only — releases again
+    assert tracked_count() == 0
+    assert _sql_cache_size(spark) == base

@@ -170,3 +170,54 @@ def test_write_archives_emits_wire_jpeg(spark, tiny_images):
                     found_jpeg = True
                     assert decode_jfif(body).shape == (8, 8, 3)
     assert found_jpeg
+
+
+def test_jfif_420_self_roundtrip():
+    """4:2:0 encode (the Go-stdlib layout, quadtreeElement.go:254) decodes
+    in our own decoder at both even and odd/non-MCU-aligned dims."""
+    rng = np.random.default_rng(7)
+    smooth = _gradient(32, 48)
+    dec = decode_jfif(encode_jfif(smooth, 90, subsampling="420"))
+    assert dec.shape == smooth.shape and psnr(smooth, dec) >= 40
+    # odd / non-MCU-aligned dims: smooth base + mild noise (hard chroma noise
+    # is destroyed by subsampling BY DESIGN, so a noise image can't bound it)
+    odd = np.clip(_gradient(19, 29).astype(np.int16)
+                  + rng.integers(-4, 5, (19, 29, 3)), 0, 255).astype(np.uint8)
+    dec = decode_jfif(encode_jfif(odd, 90, subsampling="420"))
+    assert dec.shape == odd.shape and psnr(odd, dec) >= 28
+    solid = np.full((16, 16, 3), 130, np.uint8)
+    assert psnr(solid, decode_jfif(encode_jfif(solid, 75, subsampling="420"))) == float("inf")
+
+
+def test_jfif_420_matches_444_on_gray_content():
+    """Chroma subsampling is lossless on chroma-free content: both modes
+    must reconstruct identical luma."""
+    g = (np.linspace(40, 210, 32)[None, :, None] * np.ones((24, 1, 3))).astype(np.uint8)
+    d444 = decode_jfif(encode_jfif(g, 85, subsampling="444"))
+    d420 = decode_jfif(encode_jfif(g, 85, subsampling="420"))
+    assert psnr(d444, d420) >= 45
+
+
+def test_jfif_420_readable_by_foreign_decoder(spark):
+    """Full wire parity: our 4:2:0 stream decodes in Java ImageIO and both
+    decoders agree (VERDICT r2 #5)."""
+    img = _gradient(24, 40)
+    mine = encode_jfif(img, 90, subsampling="420")
+    back = _imageio_decode(spark, mine)
+    assert psnr(img, back) >= 40
+    assert psnr(decode_jfif(mine), back) >= 40
+
+
+def test_jfif_fill_bytes_between_segments():
+    """T.81 B.1.1.2 permits runs of 0xFF padding before any marker — the
+    decoder must skip them (ADVICE r2)."""
+    good = encode_jfif(_gradient(16, 16), 75)
+    # splice fill runs at KNOWN segment boundaries (replace() could match
+    # payload bytes): after SOI (before APP0) and after the 18-byte APP0
+    # segment (before the first DQT)
+    assert good[2:4] == b"\xff\xe0" and good[20:22] == b"\xff\xdb"
+    padded = (good[:2] + b"\xff\xff" + good[2:20]
+              + b"\xff\xff\xff" + good[20:])
+    assert len(padded) == len(good) + 5
+    a, b = decode_jfif(good), decode_jfif(padded)
+    assert np.array_equal(a, b)

@@ -32,6 +32,8 @@ SNAPSHOT_QUERIES = [
     # WAV decode is pure-function-of-nation-keys, and the TPC-H nation table
     # is constant across scale factors — snapshot-safe
     "audio_features",
+    # MJPEG/AVI demux + JFIF frame decode, same nation-key determinism
+    "video_frame_stats",
 ]
 
 
