@@ -184,8 +184,14 @@ _MINHASH_SIG_SQL = f"""
 # ---- hyperplane-LSH constants, shared by ann.py and the DuckDB oracles ----
 
 _LSH_DIM = 64
-_LSH_PLANES = 8   # gate-SF value: auto_num_planes(500, target_bucket=32) == 8
-_LSH_MAX_BUCKET = 100  # degenerate-bucket cap, mirrored in the SQL oracles
+_LSH_PLANES = 8   # gate-SF value: auto_num_planes(500, target_bucket) == 8
+                  # for BOTH tiers' targets (near-dup 32, top-k 128)
+_LSH_MAX_BUCKET = 100  # near-dup degenerate-bucket cap, mirrored in oracles
+# top-k tier: recall wants bigger buckets (target 128 → recall@10 0.77 at
+# sf0.1 vs 0.48 at target 32 — tools/ann_quality.py) while candidates stay
+# ~2·(half+1)·128 per query at ANY n; the cap only exists for degenerate keys
+_LSH_TOPK_TARGET = 128
+_LSH_TOPK_MAX_BUCKET = 512
 _NEAR_DUP_COS = 0.35
 
 
@@ -328,13 +334,29 @@ def _ivf_sql(n_clusters: int = 16, nprobe: int = 6, iters: int = 3,
     """
 
 
-def _snapshot_sql(name: str) -> str:
+def _snapshot_sql(name: str, invariant: str | None = None) -> str:
     """Oracle for a pure-function-of-fixture pixel query: replay its frozen
     committed output (tools/make_snapshots.py — regenerated only with an
-    intentional kernel change). Kernel drift → driver-visible hash fail."""
+    intentional kernel change). Kernel drift → driver-visible hash fail.
+
+    Replay alone pins determinism but would also replay a bug frozen into
+    the snapshot (ADVICE r2), so each oracle ANDs an ``invariant`` —
+    a predicate derivable WITHOUT the pixel kernels (fixture-constant
+    dims, quadtree leaf-count arithmetic, PCM algebra). A snapshot row
+    violating it drops out → driver-visible rows mismatch."""
     path = os.path.join(_REPO_DIR, "tests", "golden", "snapshots",
                         f"{name}.parquet", "*.parquet")
-    return f"SELECT * FROM read_parquet('{path}')"
+    base = f"SELECT * FROM read_parquet('{path}')"
+    return f"{base} WHERE {invariant}" if invariant else base
+
+
+def _fixture_dims_values(n: int) -> str:
+    """(image_id, w, h) VALUES rows for the first ``n`` fixture images —
+    independent constants (the generator's metadata, no pixel kernel)."""
+    from quadtree_block_compression_spark.fixtures.images import images_pandas
+    pdf = images_pandas(n, seed=42, max_side=128)
+    return ", ".join(f"('{r.image_id}', {int(r.w)}, {int(r.h)})"
+                     for r in pdf.itertuples())
 
 
 def _archive_meta_values() -> str:
@@ -540,10 +562,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (emb,) = _tables(spark, sf, "embeddings")
         q = (emb.where(F.col("vec_id") < 10)
              .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")))
-        # multiprobe (Hamming-1 neighbor buckets) + degenerate-bucket cap,
-        # both mirrored in the oracle
-        return ann.cosine_topk_lsh(emb, q, k=5, dim=64, num_planes=_LSH_PLANES,
-                                   max_bucket=_LSH_MAX_BUCKET, multiprobe=True)
+        # multiprobe (Hamming-1 neighbor buckets) + degenerate-bucket cap +
+        # size-derived plane count (== _LSH_PLANES at the sf0.01 gate), all
+        # mirrored in the oracle
+        return ann.cosine_topk_lsh(emb, q, k=5, dim=64, num_planes=None,
+                                   max_bucket=_LSH_TOPK_MAX_BUCKET,
+                                   multiprobe=True,
+                                   target_bucket=_LSH_TOPK_TARGET)
 
     def ann_ivf_topk(spark, sf):
         (emb,) = _tables(spark, sf, "embeddings")
@@ -756,8 +781,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def tile_range_query(spark, sf):
         from quadtree_block_compression_spark.operators.tile_range import tile_range_scan
+        from quadtree_block_compression_spark.functions.cache import persist_tracked
         images = _fixture_images(spark, 16)
-        blocks = tiling.assign_tiles(images)
+        # persisted: side=None runs a side-discovery action before the scan —
+        # uncached, the assign_tiles pixel UDF would execute twice
+        blocks = persist_tracked(tiling.assign_tiles(images))
         # window over the upper-left 32×32 px at level 2; canvas sides are
         # auto-derived per image (the fixture mixes 8..128 px canvases)
         return (tile_range_scan(blocks, 0, 0, 32, 32, level=2)
@@ -1214,15 +1242,17 @@ def oracle_sql() -> dict[str, str]:
             FROM cand QUALIFY rank <= 5
         """,
         "ann_lsh_topk": f"""
-            -- mirrors cosine_topk_lsh(multiprobe=True, max_bucket={_LSH_MAX_BUCKET}):
+            -- mirrors cosine_topk_lsh(multiprobe=True, target_bucket=
+            -- {_LSH_TOPK_TARGET}, max_bucket={_LSH_TOPK_MAX_BUCKET}):
+            -- auto_num_planes(500, {_LSH_TOPK_TARGET}) == {_LSH_PLANES} at this gate SF;
             -- per-tier degenerate buckets are dropped from the DATA side; each
             -- query probes its half-key bucket and every Hamming-1 neighbor,
             -- i.e. candidates with bit_count(xor(half keys)) <= 1
             WITH {_lsh_keyed_sql()},
             k1t AS (SELECT vec_id, k1 AS kk FROM kb
-                    QUALIFY count(*) OVER (PARTITION BY k1) <= {_LSH_MAX_BUCKET}),
+                    QUALIFY count(*) OVER (PARTITION BY k1) <= {_LSH_TOPK_MAX_BUCKET}),
             k2t AS (SELECT vec_id, k2 AS kk FROM kb
-                    QUALIFY count(*) OVER (PARTITION BY k2) <= {_LSH_MAX_BUCKET}),
+                    QUALIFY count(*) OVER (PARTITION BY k2) <= {_LSH_TOPK_MAX_BUCKET}),
             q AS (SELECT vec_id AS q_id, vn AS qn, k1, k2 FROM kb WHERE vec_id < 10),
             cand AS (
               SELECT DISTINCT vec_id, q_id FROM (
@@ -1344,15 +1374,56 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_BLOCKS_GOLDEN}')
         """,
         "ann_ivf_topk": _ivf_sql(),
-        "quadtree_roundtrip": _snapshot_sql("quadtree_roundtrip"),
-        "block_near_dedup": _snapshot_sql("block_near_dedup"),
-        "image_features": _snapshot_sql("image_features"),
-        "interpolator_matrix": _snapshot_sql("interpolator_matrix"),
-        "image_near_dup_phash": _snapshot_sql("image_near_dup_phash"),
+        # a 4-ary quadtree's leaf count is always ≡ 1 (mod 3) — pure tree
+        # arithmetic, independent of any kernel; captions must all verify
+        "quadtree_roundtrip": _snapshot_sql(
+            "quadtree_roundtrip",
+            "n_blocks % 3 = 1 AND n_blocks >= 1 AND caption_ok"),
+        # every near-dup edge must point at a node that EXISTS in the
+        # independently-frozen blocks golden (the scan covers internal nodes
+        # too), similarity within the weighted kernel's range (weights sum
+        # 0.9999)
+        "block_near_dedup": _snapshot_sql(
+            "block_near_dedup",
+            f"""similarity > 0 AND similarity <= 0.9999
+             AND EXISTS (SELECT 1 FROM read_parquet('{_BLOCKS_GOLDEN}') b
+                         WHERE b.image_id = dup_image_id
+                           AND b.tile_id = dup_tile_id)"""),
+        # dims must equal the fixture generator's metadata (no pixel kernel)
+        "image_features": _snapshot_sql(
+            "image_features",
+            f"""(image_id, w, h) IN
+                (SELECT (m.i, m.w, m.h) FROM (VALUES {_fixture_dims_values(16)})
+                 AS m(i, w, h))
+             AND mean_r BETWEEN 0 AND 255 AND mean_g BETWEEN 0 AND 255
+             AND mean_b BETWEEN 0 AND 255"""),
+        "interpolator_matrix": _snapshot_sql(
+            "interpolator_matrix",
+            "down IN ('NearestNeighbor', 'ApproxBiLinear', 'BiLinear', "
+            "'CatmullRom') AND up IN ('NearestNeighbor', 'ApproxBiLinear', "
+            "'BiLinear', 'CatmullRom') AND similarity <= 0.9999"),
+        "image_near_dup_phash": _snapshot_sql(
+            "image_near_dup_phash",
+            "hamming BETWEEN 0 AND 10 AND image_a < image_b"),
         # pure function of the (SF-constant) nation keys; no SQL engine can
         # decode RIFF, but the frozen output pins the decoder driver-visibly
-        "audio_features": _snapshot_sql("audio_features"),
-        "video_frame_stats": _snapshot_sql("video_frame_stats"),
+        # PCM algebra recomputable in SQL: duration = frames/rate; the
+        # generator's rate/channel schedule is a nation-key function
+        "audio_features": _snapshot_sql(
+            "audio_features",
+            "codec = 'wav_pcm' AND sample_rate = 8000 * (1 + clip_id % 3)"
+            " AND n_channels = 1 + clip_id % 2"
+            " AND n_frames = 800 + 160 * clip_id"
+            " AND abs(duration_s - CAST(n_frames AS DOUBLE) / sample_rate)"
+            "     < 1e-6"
+            " AND peak_amp >= rms AND peak_amp <= 1.0"),
+        # clip geometry + sampling stride are generator constants
+        "video_frame_stats": _snapshot_sql(
+            "video_frame_stats",
+            "w = 48 AND h = 32 AND frame_idx % 4 = 0"
+            " AND frame_idx < 8 + video_id % 5"
+            " AND mean_r BETWEEN 0 AND 255 AND mean_g BETWEEN 0 AND 255"
+            " AND mean_b BETWEEN 0 AND 255"),
         "archive_roundtrip": f"""
             -- archives carry one member per leaf + pseudo-symlinks for
             -- within-image duplicate hashes: both derivable in SQL from the

@@ -125,10 +125,11 @@ def _hyperplane_sign_cols(vec_col: str, dim: int, num_planes: int):
 
 
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
-                    num_planes: int = 8, vec_col: str = "embedding",
+                    num_planes: int | None = 8, vec_col: str = "embedding",
                     id_col: str = "vec_id", q_id_col: str = "q_id",
                     q_vec_col: str = "q_vec", max_bucket: int | None = None,
-                    multiprobe: bool = True) -> DataFrame:
+                    multiprobe: bool = True,
+                    target_bucket: int = 32) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join, exact re-rank.
 
     Buckets on two half-signatures; with ``multiprobe`` each query also
@@ -137,8 +138,14 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     *query* side (tiny, broadcast) while the data side is scanned once per
     tier, so verify cost grows ~(half+1)× per tier, not with n.
     ``max_bucket`` drops degenerate data-side buckets before the join (the
-    scale guard; mirrored in the SQL oracle).
+    scale guard; mirrored in the SQL oracle). ``num_planes=None`` derives
+    the plane count from the table size (:func:`auto_num_planes`) so normal
+    bucket occupancy stays ~``target_bucket`` and the cap only ever bites
+    truly degenerate keys — with a FIXED plane count the cap starts dropping
+    ordinary buckets once n outgrows cap·2^(planes/2), gutting recall.
     """
+    if num_planes is None:
+        num_planes = auto_num_planes(emb.count(), target_bucket=target_bucket)
     sign_cols = _hyperplane_sign_cols(vec_col, dim, num_planes)
     # bucket bits come from the RAW vector (sign is scale-invariant, and the
     # SQL oracle replicates the raw-vector projection); the verify side

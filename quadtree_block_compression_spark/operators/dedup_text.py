@@ -163,9 +163,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
         parts = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(F.struct(F.lit(bnd).alias("band"),
                                   portable_hash64(F.concat_ws("_", *parts)).alias("key")))
+    # no distinct: sig holds ONE row per doc and the band array holds one
+    # struct per band index, so (doc, band) rows are unique by construction
+    # — a distinct here is a whole extra exchange over the bucket table
     bucketed = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
-                .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-                .distinct())
+                .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")))
     if max_bucket is not None:
         bucketed = _cap_by_key(bucketed, ["band", "key"], max_bucket)
     bucketed = persist_tracked(bucketed)

