@@ -181,6 +181,45 @@ _MINHASH_SIG_SQL = f"""
   SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id
 """
 
+# full minhash-LSH pair statement — the `minhash_lsh_pairs` oracle, and the
+# edge list the `dedup_components` recursive-CTE oracle builds on
+_minhash_pairs_sql = f"""
+    WITH sig AS ({_MINHASH_SIG_SQL}),
+    bucketed0 AS (
+      SELECT DISTINCT doc_id, band, key FROM (
+        SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
+        UNION ALL
+        SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
+        UNION ALL
+        SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
+    -- mirrors max_bucket={_MAX_BUCKET}: degenerate band buckets are
+    -- dropped before the self-join on both engines
+    bucketed AS (
+      SELECT b.* FROM bucketed0 b
+      JOIN (SELECT band, key FROM bucketed0
+            GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
+        USING (band, key)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bucketed a JOIN bucketed b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    shv AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shv GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN shv a ON a.doc_id = c.doc_a
+      JOIN shv b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / (sa.sz + sb.sz - i) >= {_JACCARD_T}
+"""
+
 # ---- hyperplane-LSH constants, shared by ann.py and the DuckDB oracles ----
 
 _LSH_DIM = 64
@@ -541,6 +580,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                             bands=_BANDS, threshold=_JACCARD_T,
                                             max_bucket=_MAX_BUCKET)
 
+    def dedup_components(spark, sf):
+        """Duplicate CLUSTERS from the MinHash-LSH pair edges: connected
+        components via min-label propagation (components.py), singletons
+        included — the principled per-component canonical election that the
+        greedy drop-doc_b rule approximates. Oracle: DuckDB recursive CTE
+        (min reachable id)."""
+        from quadtree_block_compression_spark.operators.components import (
+            connected_components)
+        (docs,) = _tables(spark, sf, "documents")
+        pairs = dedup_text.minhash_lsh_pairs(docs, n=_NGRAM_N, num_perm=_NUM_PERM,
+                                             bands=_BANDS, threshold=_JACCARD_T,
+                                             max_bucket=_MAX_BUCKET)
+        return connected_components(docs, pairs)
+
     def simhash_docs(spark, sf):
         (docs,) = _tables(spark, sf, "documents")
         return dedup_text.simhash64(docs)
@@ -818,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "minhash_signatures": minhash_signatures,
         "minhash_lsh_pairs": minhash_lsh_pairs,
+        "dedup_components": dedup_components,
         "simhash_docs": simhash_docs,
         "simhash_pairs": simhash_pairs,
         "ann_topk": ann_topk,
@@ -868,6 +922,8 @@ def _with_cache_release(fn):
 
 
 def oracle_sql() -> dict[str, str]:
+    from quadtree_block_compression_spark.operators.components import (
+        components_recursive_sql)
     h64 = portable_hash64_sql
 
     morton_sql = ("(SELECT CAST(sum(((ix >> i.i) & 1)::BIGINT * power(2, 2*i.i)::BIGINT "
@@ -1153,42 +1209,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE i / (sa.sz + sb.sz - i) >= {_JACCARD_T}
         """,
         "minhash_signatures": _MINHASH_SIG_SQL,
-        "minhash_lsh_pairs": f"""
-            WITH sig AS ({_MINHASH_SIG_SQL}),
-            bucketed0 AS (
-              SELECT DISTINCT doc_id, band, key FROM (
-                SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
-            -- mirrors max_bucket={_MAX_BUCKET}: degenerate band buckets are
-            -- dropped before the self-join on both engines
-            bucketed AS (
-              SELECT b.* FROM bucketed0 b
-              JOIN (SELECT band, key FROM bucketed0
-                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
-                USING (band, key)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bucketed a JOIN bucketed b
-                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-            sh AS ({_SHINGLE_SQL}),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS i
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE i / (sa.sz + sb.sz - i) >= {_JACCARD_T}
-        """,
+        "minhash_lsh_pairs": _minhash_pairs_sql,
+        # connected components over the SAME minhash pair edges: DuckDB
+        # recursive CTE (min reachable id per node) — independent semantics
+        # for the Spark min-label propagation loop
+        "dedup_components": components_recursive_sql(
+            "SELECT doc_id FROM documents", _minhash_pairs_sql),
         "simhash_docs": f"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok

@@ -250,8 +250,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
         keyed = _cap_by_key(keyed, ["si", "sv"], max_bucket)
     a = keyed.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "si", "sv")
     b = keyed.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "si", "sv")
+    # hamming filter BEFORE the pair-dedup distinct: bit_count is a codegen
+    # scalar, so filtering in the join projection shrinks the distinct's
+    # shuffle to just the surviving (a, b, hamming) rows
     return (a.join(b, ["si", "sv"]).where(F.col("a") < F.col("b"))
-            .select("a", "b", "ha", "hb").distinct()
             .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
             .where(F.col("hamming") <= max_hamming)
-            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "hamming"))
+            .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "hamming")
+            .distinct())

@@ -99,9 +99,9 @@ def knn_ring(points: DataFrame, queries: DataFrame,
     while radii[-1] < max_ring:
         radii.append(min(radii[-1] * 4, max_ring))
     prev = -1
+    if pending.isEmpty():  # vacuous query set — checked ONCE, not per round
+        radii = []
     for ring in radii:
-        if pending.isEmpty():
-            break
         cand = (pts.join(broadcast(_ring_cells(pending, ring, prev)),
                          pts["cell"] == F.col("join_cell"))
                 .select("query_id", "image_id", "tile_id",

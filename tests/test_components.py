@@ -1,0 +1,53 @@
+"""Connected components over dedup pair edges (operators/components.py)."""
+
+import pandas as pd
+
+from quadtree_block_compression_spark.operators.components import (
+    connected_components)
+
+
+def _run(spark, ids, edges):
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    out = connected_components(nodes, pairs).toPandas()
+    return {int(r.doc_id): (int(r.component_id), int(r.component_size),
+                            bool(r.is_canonical))
+            for r in out.itertuples()}
+
+
+def test_chain_star_singleton(spark):
+    # chain 1-2-3 (greedy pair-drop would need A-C verified; components
+    # don't), star 10<-{11,12,13}, singletons 20, 21
+    got = _run(spark, [1, 2, 3, 10, 11, 12, 13, 20, 21],
+               [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13)])
+    assert got[1] == (1, 3, True)
+    assert got[2] == (1, 3, False)
+    assert got[3] == (1, 3, False)
+    for n in (10, 11, 12, 13):
+        assert got[n] == (10, 4, n == 10)
+    assert got[20] == (20, 1, True)
+    assert got[21] == (21, 1, True)
+
+
+def test_cycle_and_bridge(spark):
+    # cycle 5-6-7-5 bridged to 8; min label must flood the whole component
+    got = _run(spark, [5, 6, 7, 8], [(5, 6), (6, 7), (7, 5), (7, 8)])
+    assert {got[n][0] for n in (5, 6, 7, 8)} == {5}
+    assert all(got[n][1] == 4 for n in (5, 6, 7, 8))
+    assert [n for n in got if got[n][2]] == [5]
+
+
+def test_long_chain_converges(spark):
+    # a 12-node chain needs multiple propagation rounds (diameter > 1)
+    ids = list(range(100, 112))
+    edges = [(i, i + 1) for i in ids[:-1]]
+    got = _run(spark, ids, edges)
+    assert all(got[n] == (100, 12, n == 100) for n in ids)
+
+
+def test_edges_over_unknown_nodes_ignored_for_singletons(spark):
+    # nodes list drives the output rows; every node appears exactly once
+    got = _run(spark, [1, 2], [(1, 2)])
+    assert set(got) == {1, 2}
+    assert got[1] == (1, 2, True) and got[2] == (1, 2, False)
