@@ -434,8 +434,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from quadtree_block_compression_spark.operators import (
-        ann, dedup_blocks, dedup_text, knn, multimodal, spatial_join,
-        text_analysis, tiling)
+        ann, dedup_blocks, dedup_text, knn, multimodal, sampling,
+        spatial_join, text_analysis, tiling)
     from quadtree_block_compression_spark.streaming import windows as stream_windows
 
     # ---------------- relational core (TPC-H-ish; engine = Catalyst) ------
@@ -579,6 +579,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_text.minhash_lsh_pairs(docs, n=_NGRAM_N, num_perm=_NUM_PERM,
                                             bands=_BANDS, threshold=_JACCARD_T,
                                             max_bucket=_MAX_BUCKET)
+
+    def corpus_sample(spark, sf):
+        """Stratified deterministic hash sampling — the reproducible,
+        pushdown-friendly way to sample at 100 TB (hash mod, not RNG; one
+        CASE predicate, zero joins). Rates: keep all of src0, half of src1,
+        a fifth of src2, 10% elsewhere."""
+        (docs,) = _tables(spark, sf, "documents")
+        out = sampling.stratified_hash_sample(
+            docs, rates={"src0": 1.0, "src1": 0.5, "src2": 0.2},
+            strata_col="source", default_rate=0.1, salt="r3")
+        return out.select("doc_id", "source", "lang", "n_chars")
+
+    def vocab_topk(spark, sf):
+        """Corpus vocabulary: global top-200 whitespace tokens, map-side
+        combined, deterministic (count DESC, token) tie-break."""
+        (docs,) = _tables(spark, sf, "documents")
+        return sampling.vocab_topk(docs, k=200)
 
     def dedup_components(spark, sf):
         """Duplicate CLUSTERS from the MinHash-LSH pair edges: connected
@@ -872,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": minhash_signatures,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "dedup_components": dedup_components,
+        "corpus_sample": corpus_sample,
+        "vocab_topk": vocab_topk,
         "simhash_docs": simhash_docs,
         "simhash_pairs": simhash_pairs,
         "ann_topk": ann_topk,
@@ -1215,6 +1234,27 @@ def oracle_sql() -> dict[str, str]:
         # for the Spark min-label propagation loop
         "dedup_components": components_recursive_sql(
             "SELECT doc_id FROM documents", _minhash_pairs_sql),
+        "corpus_sample": f"""
+            -- mirrors stratified_hash_sample(salt='r3', mod 1e6): the
+            -- selection is a pure hash predicate, identical on both engines
+            SELECT doc_id, source, lang, n_chars FROM documents
+            WHERE {portable_hash64_sql("'r3:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  < CASE source WHEN 'src0' THEN 1000000
+                                WHEN 'src1' THEN 500000
+                                WHEN 'src2' THEN 200000
+                                ELSE 100000 END
+        """,
+        "vocab_topk": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS n
+              FROM toks WHERE length(token) > 0 GROUP BY token)
+            SELECT token, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+            FROM counts QUALIFY rank <= 200
+        """,
         "simhash_docs": f"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok

@@ -1,0 +1,69 @@
+"""Deterministic corpus sampling + vocabulary building.
+
+Web-scale pipelines sample with a HASH, not an RNG: ``hash(key) mod M < t``
+is reproducible across reruns/engines, stable under repartitioning, pushes
+down as an ordinary predicate, and composes (a 1% sample of a 10% sample is
+the 0.1% sample). Spark's ``sample()``/``sampleBy()`` give none of that —
+their RNG is engine-private, so no SQL oracle could replicate them.
+
+Vocabulary building is the count-distinct-heavy companion stage (tokenizer
+training, stopword discovery): one explode + one hash aggregate + a global
+top-k, deterministic tie-break on the token itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.portable_hash import portable_hash64
+
+_MOD = 1_000_000  # hash buckets per unit rate: rates quantize to 1e-6
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                salt: str = "s0") -> DataFrame:
+    """Keep rows where ``portable_hash(salt || key) mod 1e6 < rate·1e6``.
+
+    ``salt`` decorrelates independent samples of the same table; the
+    portable hash makes the selection replicable in the DuckDB oracle."""
+    h = portable_hash64(F.concat(F.lit(salt + ":"),
+                                 F.col(key_col).cast("string")))
+    return df.where(F.pmod(h, F.lit(_MOD)) < int(rate * _MOD))
+
+
+def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
+                           strata_col: str = "source",
+                           key_col: str = "doc_id",
+                           default_rate: float = 0.0,
+                           salt: str = "s0") -> DataFrame:
+    """Per-stratum hash sampling (e.g. downsample boilerplate-heavy sources,
+    keep the rare ones whole) — ONE scan, zero joins: the per-stratum
+    threshold is a CASE expression, so the filter stays a pushable
+    whole-stage-codegen predicate at any table size."""
+    h = F.pmod(portable_hash64(F.concat(F.lit(salt + ":"),
+                                        F.col(key_col).cast("string"))),
+               F.lit(_MOD))
+    thresh = F.lit(int(default_rate * _MOD))
+    for value, rate in sorted(rates.items()):
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(int(rate * _MOD))).otherwise(thresh)
+    return df.where(h < thresh)
+
+
+def vocab_topk(docs: DataFrame, k: int = 500, text_col: str = "text",
+               min_count: int = 1) -> DataFrame:
+    """Global top-``k`` whitespace tokens by document frequency-weighted
+    count. Map-side partial aggregation does the heavy lifting (token
+    explode never leaves its partition un-combined); the final top-k is a
+    single-partition sort over at most |vocab| rows. Deterministic
+    tie-break: (count DESC, token ASC). Returns (token, n, rank)."""
+    from ..functions.parallelism import spread
+    toks = (spread(docs)
+            .select(F.explode(F.split(F.col(text_col), r"\s+")).alias("token"))
+            .where(F.length("token") > 0))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.col("token"))
+    return (counts.where(F.col("n") >= min_count)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("token", "n", "rank"))

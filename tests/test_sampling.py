@@ -1,0 +1,59 @@
+"""Deterministic hash sampling + vocab building (operators/sampling.py)."""
+
+import pandas as pd
+
+from quadtree_block_compression_spark.operators.sampling import (
+    hash_sample, stratified_hash_sample, vocab_topk)
+
+
+def _docs(spark, n=2000):
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n),
+        "source": [f"src{i % 4}" for i in range(n)],
+        "text": [f"tok{i % 7} tok{i % 3} common" for i in range(n)],
+    }))
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    docs = _docs(spark)
+    s1 = hash_sample(docs, 0.25, salt="a").toPandas()
+    s2 = hash_sample(docs, 0.25, salt="a").toPandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)  # rerun-identical
+    assert 0.18 <= len(s1) / 2000 <= 0.32          # ±7pp at n=2000
+    # different salt decorrelates
+    s3 = hash_sample(docs, 0.25, salt="b").toPandas()
+    assert sorted(s3.doc_id) != sorted(s1.doc_id)
+
+
+def test_hash_sample_composes(spark):
+    """A narrower sample with the SAME salt is a subset — hash thresholds
+    nest, which RNG sampling cannot guarantee."""
+    docs = _docs(spark)
+    wide = set(hash_sample(docs, 0.5, salt="a").toPandas().doc_id)
+    narrow = set(hash_sample(docs, 0.1, salt="a").toPandas().doc_id)
+    assert narrow <= wide
+
+
+def test_stratified_rates(spark):
+    docs = _docs(spark)
+    out = stratified_hash_sample(
+        docs, rates={"src0": 1.0, "src1": 0.2}, strata_col="source",
+        default_rate=0.0).toPandas()
+    by = out.groupby("source").size()
+    assert by.get("src0", 0) == 500          # rate 1.0 keeps everything
+    assert 60 <= by.get("src1", 0) <= 140    # ~0.2 of 500
+    assert "src2" not in by and "src3" not in by  # default 0 drops
+
+
+def test_vocab_topk_deterministic_tiebreak(spark):
+    docs = _docs(spark)
+    out = vocab_topk(docs, k=5).toPandas()
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+    assert out.iloc[0]["token"] == "common" and out.iloc[0]["n"] == 2000
+    # ties (equal n) must order by token ascending
+    for i in range(1, len(out)):
+        prev, cur = out.iloc[i - 1], out.iloc[i]
+        assert (prev["n"], cur["n"]) != (cur["n"], prev["n"]) or \
+            prev["token"] < cur["token"]
+        if prev["n"] == cur["n"]:
+            assert prev["token"] < cur["token"]
