@@ -243,11 +243,13 @@ def main() -> None:
                 # engine's ratio is stable across good windows — observed
                 # median 0.716 and 0.896 for IDENTICAL code 20 min apart, with
                 # the pure-compute control at 0.845 flagging the bad window.
-                # Spend up to 2 extra pairs for more evidence; ALL pairs are
-                # reported, the median is over everything measured.
+                # Extend straight to the next ODD pair count (a true order-
+                # statistic median — an even count's upper-middle would read
+                # as optimistic); ALL pairs are reported, the median is over
+                # everything measured.
                 if i == pairs and pairs < max_pairs \
                         and sorted(pair_effs)[len(pair_effs) // 2] < 0.82:
-                    pairs += 1
+                    pairs = min(pairs + 2, max_pairs)
             eff = sorted(pair_effs)[len(pair_effs) // 2]
             ctrl = {c: _run_control_level(c) for c in (lo, hi)}
             result["scaling"] = {

@@ -89,7 +89,10 @@ def knn_ring(points: DataFrame, queries: DataFrame,
     # radius √(k̄/(π·density)) cells, so most queries finish in ONE round —
     # each extra round is a full Spark job, the dominant cost at small k
     if initial_ring is None:
-        n_points = points.count()
+        # count the PERSISTED projection: this first action populates the
+        # cache every ring join then reads, instead of an extra uncached
+        # pass over the upstream (incl. the cell-encode UDF)
+        n_points = pts.count()
         density = max(n_points / float((1 << res) ** 2), 1e-9)
         k_max = queries.agg(F.max("k")).collect()[0][0] or 1
         initial_ring = int(min(max((k_max / (3.14159 * density)) ** 0.5 + 1, 1),
