@@ -37,13 +37,7 @@ def auto_num_planes(n: int, target_bucket: int = 32, floor: int = 8) -> int:
     return max(floor, 2 * math.ceil(math.log2(n / target_bucket)))
 
 
-def _cap_by_key(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
-    """Drop rows whose bucket exceeds ``cap`` members before a self-join —
-    hash aggregate over the key + join against the surviving key list (same
-    pattern as the text dedup tiers; measured faster than a window count,
-    whose sort-buffering WindowExec doesn't pipeline)."""
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_grp_n"))
-    return df.join(counts.where(F.col("_grp_n") <= cap).select(*keys), keys)
+from ..functions.bucketing import cap_by_key as _cap_by_key
 
 
 def _norm(col):

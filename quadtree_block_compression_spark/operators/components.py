@@ -52,6 +52,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
               .withColumn("label", F.col("x"))
               .localCheckpoint(eager=True))
 
+    converged = False
     for _ in range(max_iters):
         # min label among neighbors; closed neighborhood via the outer join
         nbr_min = (edges.join(labels.withColumnRenamed("x", "y"), "y")
@@ -65,7 +66,15 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                    .where(F.col("label") != F.col("old")).limit(1).count())
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently-wrong labels would poison the dedup election downstream;
+        # a graph needing >max_iters rounds (diameter ≫ dedup shapes) should
+        # use the large-star/small-star O(log n) variant instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds the propagation budget)")
 
     w = Window.partitionBy("label")
     return (labels

@@ -24,21 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.portable_hash import portable_hash64, minhash_perm
 from ..functions.cache import persist_tracked
-
-
-def _cap_by_key(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
-    """Drop rows whose key-group exceeds ``cap`` members — the web-scale
-    guard against degenerate groups squaring inside a self-join.
-
-    groupBy + semi-shaped join, measured 2.5× faster than the equivalent
-    window count at bench scale (WindowExec sort-buffers every key group;
-    the hash aggregate + broadcast-able key-list join pipelines). The caller
-    persists the CAPPED table so the cap runs once, not per consumer —
-    persisting the uncapped table instead (the round-2 shape) recomputes the
-    cap join in every consumer and drove the round-2 bench regression.
-    """
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_grp_n"))
-    return df.join(counts.where(F.col("_grp_n") <= cap).select(*keys), keys)
+from ..functions.bucketing import cap_by_key as _cap_by_key
 
 # ------------------------------------------------------------------ exact --
 

@@ -51,3 +51,13 @@ def test_edges_over_unknown_nodes_ignored_for_singletons(spark):
     got = _run(spark, [1, 2], [(1, 2)])
     assert set(got) == {1, 2}
     assert got[1] == (1, 2, True) and got[2] == (1, 2, False)
+
+
+def test_convergence_guard(spark):
+    import pytest
+    ids = list(range(40))
+    edges = [(i, i + 1) for i in ids[:-1]]
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pairs, max_iters=3).collect()
