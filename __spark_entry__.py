@@ -597,6 +597,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (docs,) = _tables(spark, sf, "documents")
         return sampling.vocab_topk(docs, k=200)
 
+    def corpus_stats(spark, sf):
+        """Per-source length distribution with EXACT discrete quantiles
+        (rank floor((n-1)q)+1 under (value, id) order — integer math both
+        engines agree on; sketch quantiles would not hash-match)."""
+        (docs,) = _tables(spark, sf, "documents")
+        return sampling.corpus_stats(docs)
+
     def dedup_components(spark, sf):
         """Duplicate CLUSTERS from the MinHash-LSH pair edges: connected
         components via min-label propagation (components.py), singletons
@@ -891,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "corpus_sample": corpus_sample,
         "vocab_topk": vocab_topk,
+        "corpus_stats": corpus_stats,
         "simhash_docs": simhash_docs,
         "simhash_pairs": simhash_pairs,
         "ann_topk": ann_topk,
@@ -1254,6 +1262,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, n,
                    CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
             FROM counts QUALIFY rank <= 200
+        """,
+        "corpus_stats": """
+            -- exact discrete quantiles: element at rank floor((n-1)q)+1
+            -- under (value, id) total order — identical integer math
+            WITH ranked AS (
+              SELECT source, n_chars, doc_id,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS cnt
+              FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total,
+                   min(n_chars) AS min_v,
+                   max(n_chars) AS max_v,
+                   max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) AS BIGINT) + 1
+                            THEN n_chars END) AS p50,
+                   max(CASE WHEN rn = CAST(floor((cnt - 1) * 0.95) AS BIGINT) + 1
+                            THEN n_chars END) AS p95
+            FROM ranked GROUP BY source
         """,
         "simhash_docs": f"""
             WITH toks AS (

@@ -35,7 +35,7 @@ BENCH_QUERIES = [
     "ann_topk", "ann_lsh_topk", "embedding_near_dup",
     "cell_assign", "spatial_join_rects", "spatial_join_salted_rects",
     "spatial_join_triangles", "knn_points", "video_frame_stats",
-    "corpus_sample", "vocab_topk",
+    "corpus_sample", "vocab_topk", "corpus_stats",
 ]
 
 

@@ -50,6 +50,35 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
     return df.where(h < thresh)
 
 
+def corpus_stats(docs: DataFrame, value_col: str = "n_chars",
+                 strata_col: str = "source", id_col: str = "doc_id",
+                 quantiles: tuple[float, ...] = (0.5, 0.95)) -> DataFrame:
+    """Per-stratum distribution stats with EXACT discrete quantiles.
+
+    The quantile is the element at rank ``floor((n-1)·q)+1`` under a total
+    order (value, id) — pure integer math, so Spark and a SQL oracle agree
+    bit-for-bit, unlike interpolated/t-digest quantiles whose float or
+    sketch semantics differ per engine. Two shuffles total (rank window +
+    group aggregate), both on the stratum key; at 100 TB the window sort is
+    per-stratum and spills, never global.
+    """
+    w = Window.partitionBy(strata_col).orderBy(value_col, id_col)
+    wc = Window.partitionBy(strata_col)
+    ranked = docs.select(
+        strata_col, value_col, id_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_cnt"))
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.sum(value_col).cast("long").alias("total"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v")]
+    for q in quantiles:
+        idx = F.floor((F.col("_cnt") - 1) * F.lit(q)) + 1
+        aggs.append(F.max(F.when(F.col("_rn") == idx, F.col(value_col)))
+                    .alias(f"p{int(q * 100)}"))
+    return ranked.groupBy(strata_col).agg(*aggs)
+
+
 def vocab_topk(docs: DataFrame, k: int = 500, text_col: str = "text",
                min_count: int = 1) -> DataFrame:
     """Global top-``k`` whitespace tokens by document frequency-weighted

@@ -57,3 +57,20 @@ def test_vocab_topk_deterministic_tiebreak(spark):
             prev["token"] < cur["token"]
         if prev["n"] == cur["n"]:
             assert prev["token"] < cur["token"]
+
+
+def test_corpus_stats_exact_quantiles(spark):
+    from quadtree_block_compression_spark.operators.sampling import corpus_stats
+    # known distribution: one stratum, values 1..100 → p50 rank = floor(99*.5)+1
+    # = 50 → value 50; p95 rank = floor(99*.95)+1 = 95 → value 95
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(100), "source": ["s"] * 100,
+        "n_chars": list(range(1, 101))}))
+    row = corpus_stats(docs).collect()[0]
+    assert (row.n_docs, row.total, row.min_v, row.max_v) == (100, 5050, 1, 100)
+    assert (row.p50, row.p95) == (50, 95)
+    # two-doc stratum: p50 rank = floor(1*0.5)+1 = 1 → the SMALLER value
+    tiny = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1], "source": ["t", "t"], "n_chars": [10, 99]}))
+    r = corpus_stats(tiny).collect()[0]
+    assert (r.p50, r.p95) == (10, 10)
