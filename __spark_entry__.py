@@ -930,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tables) in the block manager for the session lifetime. Unpersist is
     # correctness-safe mid-plan (blocks recompute from lineage), so releasing
     # at the START of the next query never breaks a not-yet-collected result.
+    # Caveat (accepted trade): a driver that BUILDS many lazy queries before
+    # evaluating any would see earlier queries' caches released pre-execution
+    # — still correct, just recomputed; the observed driver interleaves
+    # build+collect per query, which this is tuned for.
     return {name: _with_cache_release(fn) for name, fn in out.items()}
 
 

@@ -227,32 +227,51 @@ def main() -> None:
             # adjacent pairs cancel the drift; the median of 3 pair ratios
             # drops any pair a window boundary still split.
             pairs = int(os.environ.get("QBCS_SCALE_PAIRS", "3"))
-            max_pairs = int(os.environ.get("QBCS_SCALE_MAX_PAIRS", str(pairs + 2)))
+            # A degraded host window (absolute throughput collapses on one
+            # level mid-run) can sink a 3-pair median even though the
+            # engine's ratio is stable across good windows — observed median
+            # 0.716 vs 0.896 for IDENTICAL code 20 min apart, with the
+            # pure-compute control reading 0.845 (usually ~1.0). Decide the
+            # pair budget from the CONTROL, measured BEFORE the engine pairs:
+            # the trigger is exogenous to the statistic being estimated, so
+            # there is no optional-stopping bias (extending only when the
+            # engine median looks low would be one-sided and inflate the
+            # reported efficiency).
+            ctrl = {c: _run_control_level(c) for c in (lo, hi)}
+            ctrl_eff = round((ctrl[hi] / ctrl[lo]) / 4.0, 3)
+            max_pairs = int(os.environ.get("QBCS_SCALE_MAX_PAIRS",
+                                           str(pairs + 2)))
+            if ctrl_eff < 0.9:
+                pairs = max_pairs
+            # healthy-window local[hi] capability (BENCH/BASELINE.md: the
+            # 16-core level delivers 141-148k blocks/s across healthy runs);
+            # a first pair far below it flags external contention the pure-
+            # compute control cannot see (it is bandwidth-blind). Both
+            # triggers use LEVELS, never the ratio under estimation, and
+            # fire before the 3-pair median exists — no optional stopping.
+            ref_hi = float(os.environ.get("QBCS_HEALTHY_HI_BLOCKS_PER_SEC",
+                                          "140000"))
             pair_effs = []
             scale_report = {}
             i = 0
             while i < pairs:
-                rlo = _run_scale_level(lo, n_scale, reps=1, with_hash=(i == 0))
-                rhi = _run_scale_level(hi, n_scale, reps=1, with_hash=(i == 0))
+                # ABBA ordering: odd pairs measure hi first, so a linear
+                # host-delivery drift biases consecutive pair ratios in
+                # OPPOSITE directions and the median cancels it
+                if i % 2 == 0:
+                    rlo = _run_scale_level(lo, n_scale, reps=1, with_hash=(i == 0))
+                    rhi = _run_scale_level(hi, n_scale, reps=1, with_hash=(i == 0))
+                else:
+                    rhi = _run_scale_level(hi, n_scale, reps=1, with_hash=False)
+                    rlo = _run_scale_level(lo, n_scale, reps=1, with_hash=False)
                 pair_effs.append(round(
                     (rhi["blocks_per_sec"] / rlo["blocks_per_sec"]) / 4.0, 3))
                 if i == 0:
                     scale_report = {lo: rlo, hi: rhi}
+                    if rhi["blocks_per_sec"] < 0.8 * ref_hi:
+                        pairs = max_pairs
                 i += 1
-                # a degraded host window (absolute throughput collapses on one
-                # level mid-run) can sink a 3-pair median even though the
-                # engine's ratio is stable across good windows — observed
-                # median 0.716 and 0.896 for IDENTICAL code 20 min apart, with
-                # the pure-compute control at 0.845 flagging the bad window.
-                # Extend straight to the next ODD pair count (a true order-
-                # statistic median — an even count's upper-middle would read
-                # as optimistic); ALL pairs are reported, the median is over
-                # everything measured.
-                if i == pairs and pairs < max_pairs \
-                        and sorted(pair_effs)[len(pair_effs) // 2] < 0.82:
-                    pairs = min(pairs + 2, max_pairs)
             eff = sorted(pair_effs)[len(pair_effs) // 2]
-            ctrl = {c: _run_control_level(c) for c in (lo, hi)}
             result["scaling"] = {
                 f"local{lo}": scale_report[lo], f"local{hi}": scale_report[hi],
                 "n_cores": lo, "n4_cores": hi,
@@ -260,8 +279,9 @@ def main() -> None:
                 "efficiency_n_to_4n": eff,
                 "outputs_identical": scale_report[lo]["output_hash"]
                 == scale_report[hi]["output_hash"],
-                "host_compute_control_eff": round(
-                    (ctrl[hi] / ctrl[lo]) / 4.0, 3),
+                "host_compute_control_eff": ctrl_eff,
+                "pairs_budget_extended": pairs > int(
+                    os.environ.get("QBCS_SCALE_PAIRS", "3")),
             }
             # headline throughput at full machine occupancy (the capability
             # number, comparable across rounds) — measured separately from

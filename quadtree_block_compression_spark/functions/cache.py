@@ -15,33 +15,41 @@ correctness is never at stake, only (bounded) recomputation.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()  # drivers may run queries from multiple threads
 
 
 def persist_tracked(df: DataFrame,
                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
     """Persist ``df`` and register it for the next ``release_caches()``."""
     df = df.persist(level)
-    _TRACKED.append(df)
+    with _LOCK:
+        _TRACKED.append(df)
     return df
 
 
 def release_caches() -> int:
     """Unpersist every tracked frame (non-blocking); returns how many."""
-    global _TRACKED
+    with _LOCK:
+        batch, _TRACKED[:] = list(_TRACKED), []
     released = 0
-    for df in _TRACKED:
+    for df in batch:
         try:
             df.unpersist()
             released += 1
         except Exception:
-            pass  # session already stopped — nothing to release
-    _TRACKED = []
+            # the owning session stopped between registration and release —
+            # its executors (and any cached blocks) are gone with it, so
+            # there is genuinely nothing left to free
+            pass
     return released
 
 
 def tracked_count() -> int:
-    return len(_TRACKED)
+    with _LOCK:
+        return len(_TRACKED)

@@ -368,7 +368,8 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int =
       with a fixed plane count;
     * ``max_bucket`` drops the degenerate buckets a correlated corpus still
       produces (boilerplate embeddings sharing a signature) before the
-      self-join — a window count per key, like the text dedup tiers.
+      self-join — the shared ``cap_by_key`` aggregate + key-list join, like
+      the text dedup tiers.
     """
     if num_planes is None:
         n = emb.count()  # parquet footer count — metadata-cheap

@@ -42,13 +42,22 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Returns (``id_col``, component_id, component_size, is_canonical).
     """
     spark = nodes.sparkSession
-    # symmetric closed edge list: x→y for every pair, both directions
+    node_ids = nodes.select(F.col(id_col).alias("x")).distinct()
+    # symmetric closed edge list: x→y for every pair, both directions.
+    # Edges are RESTRICTED to the node set (semi-joins on both endpoints):
+    # an edge through an id absent from ``nodes`` (e.g. a doc filtered out
+    # upstream of the component step) must not act as a bridge — without
+    # the restriction the label join silently drops such edges here while
+    # a reachability-based oracle would follow them, and the "component"
+    # could even be labeled by an id that no longer exists.
     a = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     b = pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
-    edges = a.unionByName(b).distinct().localCheckpoint(eager=True)
+    edges = (a.unionByName(b).distinct()
+             .join(node_ids, "x", "left_semi")
+             .join(node_ids.withColumnRenamed("x", "y"), "y", "left_semi")
+             .localCheckpoint(eager=True))
 
-    labels = (nodes.select(F.col(id_col).alias("x"))
-              .distinct()
+    labels = (node_ids
               .withColumn("label", F.col("x"))
               .localCheckpoint(eager=True))
 
@@ -91,13 +100,18 @@ def components_recursive_sql(nodes_sql: str, pairs_sql: str,
                              b_col: str = "doc_b") -> str:
     """DuckDB oracle: min reachable id per node via a recursive CTE —
     independent semantics for :func:`connected_components` (UNION dedup
-    terminates the recursion on cycles)."""
+    terminates the recursion on cycles). Edges are restricted to the node
+    set on both endpoints, mirroring the operator: an id absent from
+    ``nodes`` never bridges two components."""
     return f"""
       WITH RECURSIVE
       nodes AS ({nodes_sql}),
       rawp AS ({pairs_sql}),
-      edges AS (SELECT {a_col} AS x, {b_col} AS y FROM rawp
-                UNION SELECT {b_col}, {a_col} FROM rawp),
+      edges AS (SELECT x, y FROM (
+                  SELECT {a_col} AS x, {b_col} AS y FROM rawp
+                  UNION SELECT {b_col}, {a_col} FROM rawp)
+                WHERE x IN (SELECT {id_col} FROM nodes)
+                  AND y IN (SELECT {id_col} FROM nodes)),
       reach(src, node) AS (
         SELECT {id_col}, {id_col} FROM nodes
         UNION

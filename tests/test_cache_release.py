@@ -21,6 +21,7 @@ SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
 PERSISTING_QUERIES = [
     "ngram_jaccard", "minhash_lsh_pairs", "simhash_pairs", "corpus_clean",
     "ann_lsh_topk", "embedding_near_dup", "knn_points",
+    "dedup_components", "tile_range_query",
 ]
 
 

@@ -53,6 +53,29 @@ def test_edges_over_unknown_nodes_ignored_for_singletons(spark):
     assert got[1] == (1, 2, True) and got[2] == (1, 2, False)
 
 
+def test_unknown_endpoint_never_bridges(spark):
+    """Edges through an id ABSENT from nodes (filtered out upstream) must
+    not merge components nor label one with a nonexistent id — the Spark
+    operator and the recursive-CTE oracle agree on this by construction
+    (both restrict edges to the node set)."""
+    import duckdb
+
+    from quadtree_block_compression_spark.operators.components import (
+        components_recursive_sql)
+
+    # node 1 was dropped upstream; (1,2) and (1,3) would bridge 2 and 3
+    got = _run(spark, [2, 3], [(1, 2), (1, 3)])
+    assert got[2] == (2, 1, True)
+    assert got[3] == (3, 1, True)
+    # the oracle agrees (no component labeled by the nonexistent id 1)
+    sql = components_recursive_sql(
+        "SELECT * FROM (VALUES (2), (3)) AS n(doc_id)",
+        "SELECT * FROM (VALUES (1, 2), (1, 3)) AS p(doc_a, doc_b)")
+    rows = {int(r[0]): (int(r[1]), int(r[2]), bool(r[3]))
+            for r in duckdb.sql(sql).fetchall()}
+    assert rows == {2: (2, 1, True), 3: (3, 1, True)}
+
+
 def test_convergence_guard(spark):
     import pytest
     ids = list(range(40))
