@@ -290,6 +290,8 @@ _BLOCKS_GOLDEN = os.path.join(_REPO_DIR, "tests", "golden",
                               "blocks_golden.parquet", "*.parquet")
 _SIZES_GOLDEN = os.path.join(_REPO_DIR, "tests", "golden",
                              "block_sizes_golden.parquet", "*.parquet")
+_NEAR_DEDUP_SNAP = os.path.join(_REPO_DIR, "tests", "golden", "snapshots",
+                                "block_near_dedup.parquet", "*.parquet")
 
 
 def _ivf_sql(n_clusters: int = 16, nprobe: int = 6, iters: int = 3,
@@ -737,6 +739,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_id", "tile_id", "dup_image_id", "dup_tile_id",
             F.round("similarity", 9).alias("similarity"))
 
+    def block_dedup_clusters(spark, sf):
+        """The reference's dedup GROUPS (symlink clusters keyed by a
+        canonical block, quadtreeElement.go:176-221) as connected components
+        over the near-dup pair edges — a chain A~B~C is ONE cluster with one
+        canonical even when A~C was never scored. Oracle: recursive CTE over
+        the frozen blocks golden + near-dedup snapshot."""
+        from quadtree_block_compression_spark.operators.components import (
+            connected_components)
+        images = _fixture_images(spark, 16)
+        blocks = tiling.assign_tiles(images)
+        pairs = dedup_blocks.near_dedup(blocks)
+        nodes = blocks.select(
+            F.concat_ws("|", "image_id", "tile_id").alias("block_key"))
+        edges = pairs.select(
+            F.concat_ws("|", "image_id", "tile_id").alias("a"),
+            F.concat_ws("|", "dup_image_id", "dup_tile_id").alias("b"))
+        return connected_components(nodes, edges, id_col="block_key",
+                                    a_col="a", b_col="b")
+
     def image_features(spark, sf):
         images = _fixture_images(spark, 16)
         out = multimodal.image_features(images)
@@ -914,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadtree_roundtrip": quadtree_roundtrip,
         "block_dedup_exact": block_dedup_exact,
         "block_near_dedup": block_near_dedup,
+        "block_dedup_clusters": block_dedup_clusters,
         "image_features": image_features,
         "interpolator_matrix": interpolator_matrix,
         "archive_roundtrip": archive_roundtrip,
@@ -1487,6 +1509,16 @@ def oracle_sql() -> dict[str, str]:
              AND EXISTS (SELECT 1 FROM read_parquet('{_BLOCKS_GOLDEN}') b
                          WHERE b.image_id = dup_image_id
                            AND b.tile_id = dup_tile_id)"""),
+        # dedup groups = reachability over the frozen near-dup edges,
+        # restricted to the frozen blocks node set — fully independent
+        # relational semantics (recursive CTE) over the pinned fixtures
+        "block_dedup_clusters": components_recursive_sql(
+            f"""SELECT image_id || '|' || tile_id AS block_key
+                FROM read_parquet('{_BLOCKS_GOLDEN}')""",
+            "SELECT image_id || '|' || tile_id AS a, "
+            "dup_image_id || '|' || dup_tile_id AS b "
+            f"FROM read_parquet('{_NEAR_DEDUP_SNAP}')",
+            id_col="block_key", a_col="a", b_col="b"),
         # dims must equal the fixture generator's metadata (no pixel kernel)
         "image_features": _snapshot_sql(
             "image_features",
