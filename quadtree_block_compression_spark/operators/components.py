@@ -12,15 +12,28 @@ Generalizes the reference's dedup *group* notion (symlink groups keyed by a
 canonical block, ``pkg/quadtreeImage/quadtreeElement.go:176-221``) from
 pointer identity to any pair relation.
 
-Algorithm: iterative min-label propagation (each node adopts the minimum
-label in its closed neighborhood) — converges to the component-minimum id in
-``diameter`` rounds, each round ONE shuffle join + ONE aggregation over the
-edge list. Near-dup components are small and shallow by construction
-(boilerplate clusters are stars around the earliest copy), so 2–3 rounds
-is typical; the loop stops at the first fixpoint and lineage is bounded by
-a local checkpoint per round. For adversarial long-chain graphs at 10^12
-edges the O(log n) large-star/small-star variant drops in behind the same
-signature; the simple propagation is the right default for dedup shapes.
+Algorithms (two, same signature, ``algorithm=`` selects):
+
+- ``propagation`` — iterative min-label propagation (each node adopts the
+  minimum label in its closed neighborhood): converges in ``diameter``
+  rounds, each round ONE shuffle join + ONE aggregation over the edge
+  list. Near-dup components are small and shallow by construction
+  (boilerplate clusters are stars around the earliest copy), so 2–3
+  rounds is typical; the loop stops at the first fixpoint and lineage is
+  bounded by a local checkpoint per round. The right default for dedup
+  shapes.
+- ``alternating`` — the large-star/small-star algorithm of Kiveris et al.,
+  "Connected Components in MapReduce and Beyond" (SoCC'14): alternately
+  rewire every node's strictly-larger neighbors (large-star) then its
+  smaller neighbors and itself (small-star) to the minimum of its closed
+  neighborhood, until the edge set is a fixpoint of component-min stars.
+  Converges in O(log² n) rounds REGARDLESS of diameter — the scale path
+  for adversarial long-chain graphs (crawl rings, version chains) where
+  propagation's O(diameter) shuffle count would be unbounded.
+- ``auto`` (default) — propagation for up to ``max_iters`` rounds, then
+  fall back to ``alternating`` from scratch instead of aborting: cheap
+  on the common shallow graphs, still guaranteed to finish on
+  pathological ones.
 
 Deterministic (min over ids), so the whole computation is replicated in the
 DuckDB oracle as a recursive CTE (min reachable id per node).
@@ -34,13 +47,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 def connected_components(nodes: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          a_col: str = "doc_a", b_col: str = "doc_b",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         algorithm: str = "auto") -> DataFrame:
     """Component id (= min member id) per node.
 
     ``nodes``: one row per entity (singletons become their own component).
     ``pairs``: undirected edges, any extra columns ignored.
+    ``algorithm``: ``"auto"`` (propagation, alternating fallback past
+    ``max_iters``), ``"propagation"`` (raises past ``max_iters``), or
+    ``"alternating"`` (large-star/small-star from the start).
     Returns (``id_col``, component_id, component_size, is_canonical).
     """
+    if algorithm not in ("auto", "propagation", "alternating"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     spark = nodes.sparkSession
     node_ids = nodes.select(F.col(id_col).alias("x")).distinct()
     # symmetric closed edge list: x→y for every pair, both directions.
@@ -57,11 +76,37 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
              .join(node_ids.withColumnRenamed("x", "y"), "y", "left_semi")
              .localCheckpoint(eager=True))
 
+    labels = None
+    if algorithm in ("auto", "propagation"):
+        labels = _propagate_labels(node_ids, edges, max_iters)
+        if labels is None and algorithm == "propagation":
+            # silently-wrong labels would poison the dedup election
+            # downstream; auto (the default) falls back instead of raising
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "rounds (component diameter exceeds the propagation "
+                "budget); use algorithm='auto' or 'alternating'")
+    if labels is None:
+        labels = _alternating_labels(node_ids, edges)
+
+    w = Window.partitionBy("label")
+    return (labels
+            .withColumn("component_size", F.count(F.lit(1)).over(w))
+            .select(F.col("x").alias(id_col),
+                    F.col("label").alias("component_id"),
+                    "component_size",
+                    (F.col("x") == F.col("label")).alias("is_canonical")))
+
+
+def _propagate_labels(node_ids: DataFrame, edges: DataFrame,
+                      max_iters: int) -> DataFrame | None:
+    """Min-label propagation over symmetric ``edges`` (x, y): each node
+    adopts the min label of its closed neighborhood per round. Returns the
+    converged (x, label) frame, or None if ``max_iters`` rounds did not
+    reach the fixpoint (caller decides: raise or fall back)."""
     labels = (node_ids
               .withColumn("label", F.col("x"))
               .localCheckpoint(eager=True))
-
-    converged = False
     for _ in range(max_iters):
         # min label among neighbors; closed neighborhood via the outer join
         nbr_min = (edges.join(labels.withColumnRenamed("x", "y"), "y")
@@ -75,23 +120,80 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                    .where(F.col("label") != F.col("old")).limit(1).count())
         labels = new
         if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # silently-wrong labels would poison the dedup election downstream;
-        # a graph needing >max_iters rounds (diameter ≫ dedup shapes) should
-        # use the large-star/small-star O(log n) variant instead
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds "
-            "(component diameter exceeds the propagation budget)")
+            return labels
+    return None
 
-    w = Window.partitionBy("label")
-    return (labels
-            .withColumn("component_size", F.count(F.lit(1)).over(w))
-            .select(F.col("x").alias(id_col),
-                    F.col("label").alias("component_id"),
-                    "component_size",
-                    (F.col("x") == F.col("label")).alias("is_canonical")))
+
+def _alternating_labels(node_ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., SoCC'14) — the
+    O(log² n)-round variant whose shuffle count is independent of component
+    diameter.
+
+    Per round over the (larger → smaller oriented) edge set E:
+
+    - **large-star**: symmetrize E; per node u with neighbors Γ(u) and
+      m = min(Γ(u) ∪ {u}), emit (v, m) for every v ∈ Γ(u) with v > u.
+    - **small-star**: orient E larger→smaller; per node u with (smaller)
+      neighbors N(u) and m = min(N(u) ∪ {u}), emit (v, m) for every
+      v ∈ N(u) ∪ {u}, v ≠ m.
+
+    Both preserve connectivity and strictly shrink the potential until the
+    fixpoint, where E is exactly the star {(v, root_v)} — each node's one
+    edge points at its component minimum. Each half-round is one
+    aggregation + one equi-join on the node key; plan lineage is bounded
+    with a local checkpoint per round, and the fixpoint test is an
+    order-insensitive checksum (count + xor of row hashes) of the edge
+    set — one tiny extra action per round, no full edge-set comparison
+    join."""
+    # orient larger → smaller; self-loops carry no connectivity
+    cur = (edges.where(F.col("x") != F.col("y"))
+           .select(F.greatest("x", "y").alias("u"),
+                   F.least("x", "y").alias("v"))
+           .distinct()
+           .localCheckpoint(eager=True))
+
+    def checksum(e: DataFrame):
+        row = (e.agg(F.count(F.lit(1)).alias("n"),
+                     F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0))
+                     .alias("x")).collect()[0])
+        return (row["n"], row["x"])
+
+    sig = checksum(cur)
+    for _ in range(200):  # safety rail only: O(log² n) ≪ 200 for any n
+        # large-star over the symmetrized set
+        sym = cur.unionByName(cur.select(F.col("v").alias("u"),
+                                         F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        cur = (sym.join(mins, "u")
+               .where(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .where(F.col("u") != F.col("v"))
+               .distinct())
+        # small-star over the larger→smaller orientation (already holds:
+        # large-star only ever emits larger → closed-neighborhood min)
+        mins = (cur.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        cur = (cur.join(mins, "u")
+               .select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+               .where(F.col("u") != F.col("v"))
+               .distinct()
+               .localCheckpoint(eager=True))
+        new_sig = checksum(cur)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            "alternating connected components did not reach a fixpoint in "
+            "200 rounds — O(log² n) bounds this far below 200 for any "
+            "realizable n, so this indicates corrupt edge input")
+
+    # fixpoint edges are (node → component min); roots have no out-edge
+    stars = cur.groupBy("u").agg(F.min("v").alias("root"))
+    return (node_ids.join(stars.withColumnRenamed("u", "x"), "x", "left")
+            .select("x", F.coalesce("root", "x").alias("label")))
 
 
 def components_recursive_sql(nodes_sql: str, pairs_sql: str,

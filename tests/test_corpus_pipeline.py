@@ -100,10 +100,24 @@ def test_corpus_pipeline_mid_stage_kill_resume(spark, tmp_path, monkeypatch):
     assert manifest2["s3_near_dedup"]["complete"]
 
     # lineage continuity: exactly one pass per stage, none duplicated by the
-    # kill (lineage is appended only at a stage's completion barrier)
-    lin = out["pipeline"].lineage().groupBy("stage").count().collect()
-    counts = {r.stage: r["count"] for r in lin}
-    per_stage_parts = {s: n for s, n in counts.items()}
-    ref_counts = {r.stage: r["count"] for r in
-                  ref["pipeline"].lineage().groupBy("stage").count().collect()}
-    assert per_stage_parts == ref_counts
+    # kill (lineage is appended only at a stage's completion barrier).
+    # Semantic comparison ONLY — each stage appends exactly one total row
+    # (partition_id = -1) per pass, and per-stage row totals must match the
+    # uninterrupted reference run. Physical partition counts are NOT
+    # compared: they drift with AQE coalescing / session state under the
+    # full suite and carry no resume-semantics signal (r3 flake).
+    def stage_passes_and_rows(pipe):
+        rows = (pipe.lineage().where(F.col("partition_id") == -1)
+                .groupBy("stage")
+                .agg(F.count(F.lit(1)).alias("passes"),
+                     F.sum("rows_out").alias("rows")).collect())
+        return ({r.stage: r.passes for r in rows},
+                {r.stage: r.rows for r in rows})
+
+    got_passes, got_totals = stage_passes_and_rows(out["pipeline"])
+    ref_passes, ref_totals = stage_passes_and_rows(ref["pipeline"])
+    stages = {"s1_annotate", "s2_exact_dedup", "s3_near_dedup",
+              "s4_quality_filter"}
+    assert got_passes == {s: 1 for s in stages}  # no duplicated passes
+    assert ref_passes == {s: 1 for s in stages}
+    assert got_totals == ref_totals  # same rows flowed through every stage
