@@ -30,6 +30,9 @@ class EncodingConfig:
     # our lossy block codec quality (reference uses Go jpeg default 75,
     # pkg/quadtreeImage/quadtreeElement.go:254)
     block_quality: int = 75
+    # per-image archive container: "gzip" (tar.gz — the reference's
+    # default, configs/config.yml:13) or "zip" (archive.go:19-23)
+    archive_format: str = "gzip"
 
 
 @dataclass(frozen=True)

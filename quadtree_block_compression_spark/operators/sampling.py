@@ -58,25 +58,37 @@ def corpus_stats(docs: DataFrame, value_col: str = "n_chars",
     The quantile is the element at rank ``floor((n-1)·q)+1`` under a total
     order (value, id) — pure integer math, so Spark and a SQL oracle agree
     bit-for-bit, unlike interpolated/t-digest quantiles whose float or
-    sketch semantics differ per engine. Two shuffles total (rank window +
-    group aggregate), both on the stratum key; at 100 TB the window sort is
-    per-stratum and spills, never global.
+    sketch semantics differ per engine. The id tie-break never changes the
+    VALUE at a given rank, so the rank can be computed over the
+    **value histogram**: pre-aggregate to one row per (stratum, value)
+    with its multiplicity, cumulative-count over the ordered distinct
+    values, and pick the smallest value whose cumulative count reaches the
+    target rank. The per-task window sort is then bounded by the number of
+    DISTINCT values in a stratum — a 95%-dominant stratum of 10^11 docs
+    with a ~10^5-value length range sorts 10^5 rows, not 10^11 (VERDICT
+    r3 #5; the r1–r3 form ranked every ROW in one task per stratum). The
+    heavy lifting is the map-side-combined histogram aggregate; for
+    pathological all-distinct continuous values this degrades gracefully
+    to the old per-row sort.
     """
-    w = Window.partitionBy(strata_col).orderBy(value_col, id_col)
+    w = Window.partitionBy(strata_col).orderBy(value_col)
     wc = Window.partitionBy(strata_col)
-    ranked = docs.select(
-        strata_col, value_col, id_col,
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(wc).alias("_cnt"))
-    aggs = [F.count(F.lit(1)).alias("n_docs"),
-            F.sum(value_col).cast("long").alias("total"),
+    hist = (docs.groupBy(strata_col, value_col)
+            .agg(F.count(F.lit(1)).alias("_c")))
+    cum = hist.select(
+        strata_col, value_col, "_c",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wc).alias("_n"))
+    aggs = [F.sum("_c").cast("long").alias("n_docs"),
+            F.sum(F.col(value_col).cast("long") * F.col("_c"))
+            .cast("long").alias("total"),
             F.min(value_col).alias("min_v"),
             F.max(value_col).alias("max_v")]
     for q in quantiles:
-        idx = F.floor((F.col("_cnt") - 1) * F.lit(q)) + 1
-        aggs.append(F.max(F.when(F.col("_rn") == idx, F.col(value_col)))
+        idx = F.floor((F.col("_n") - 1) * F.lit(q)) + 1
+        aggs.append(F.min(F.when(F.col("_cum") >= idx, F.col(value_col)))
                     .alias(f"p{int(q * 100)}"))
-    return ranked.groupBy(strata_col).agg(*aggs)
+    return cum.groupBy(strata_col).agg(*aggs)
 
 
 def vocab_topk(docs: DataFrame, k: int = 500, text_col: str = "text",

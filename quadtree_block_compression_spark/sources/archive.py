@@ -10,7 +10,14 @@ In this engine the blocks *table* is the archive of record (SURVEY.md §2.1
 S3) — but the per-image artifact is still useful as an interchange/demo
 format, so it's implemented as a grouped Arrow UDF producing one
 ``(image_id, archive binary)`` row per image, and a scan that turns archives
-back into block rows. Both zip (stored + deflate) via stdlib ``zipfile``.
+back into block rows. Both of the reference's wire formats are supported
+(``ArchiveMode`` gzip|zip, ``archive.go:19-23``): ``"gzip"`` — the
+reference's DEFAULT (``configs/config.yml:17``) — is tar-chained-into-gzip
+exactly like ``NewArchiveWriter``'s gzip branch (``archive.go:52-67``),
+via stdlib ``tarfile``/``gzip``; ``"zip"`` via stdlib ``zipfile``. The
+reader never takes a format argument: like ``OpenArchiveReader``
+(``archive.go:141-186``) it sniffs the container magic bytes and eagerly
+caches every member (``populateFileCacheGzip`` ``archive.go:198-225``).
 
 Format notes:
 * member path = ``"/".join(tile_id)`` (root leaf = ``"root"`` since the
@@ -23,7 +30,9 @@ Format notes:
 
 from __future__ import annotations
 
+import gzip
 import io
+import tarfile
 import zipfile
 
 from pyspark.sql import DataFrame, functions as F
@@ -31,6 +40,9 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import EngineConfig, DEFAULT_CONFIG
 
 ARCHIVES_SCHEMA = "image_id string, archive binary, n_members int"
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_ZIP_MAGIC = b"PK"
 
 
 def _tile_to_path(tile_id: str) -> str:
@@ -41,10 +53,52 @@ def _path_to_tile(path: str) -> str:
     return "" if path == "root" else path.replace("/", "")
 
 
+def _pack_members(members: list[tuple[str, bytes]], fmt: str) -> bytes:
+    """Container-serialize (path, body) members. ``"gzip"`` chains a tar
+    writer into a gzip writer (reference ``archive.go:58-61``) with
+    deterministic headers (mtime 0, zeroed owner) so identical blocks give
+    identical archive bytes; ``"zip"`` is deflate, like the r1-r3 tier."""
+    buf = io.BytesIO()
+    if fmt == "gzip":
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz, \
+                tarfile.open(fileobj=gz, mode="w") as tf:
+            for path, body in members:
+                info = tarfile.TarInfo(name=path)
+                info.size = len(body)
+                info.mode = 0o544  # reference writes bare-bones mode 544
+                info.mtime = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(body))
+    elif fmt == "zip":
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            for path, body in members:
+                z.writestr(path, body)
+    else:
+        raise ValueError(f"unknown archive format {fmt!r} (gzip|zip)")
+    return buf.getvalue()
+
+
+def _unpack_members(data: bytes) -> dict[str, bytes]:
+    """Sniff the container by magic bytes (the reference infers the mode
+    from content, never the filename — ``archive.go:152-156``) and eagerly
+    cache all members."""
+    if data[:2] == _GZIP_MAGIC:
+        with tarfile.open(fileobj=io.BytesIO(data), mode="r:gz") as tf:
+            return {m.name: tf.extractfile(m).read()
+                    for m in tf.getmembers() if m.isreg()}
+    if data[:2] == _ZIP_MAGIC:
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            return {n: z.read(n) for n in z.namelist()}
+    raise ValueError("unrecognized archive container (not gzip or zip)")
+
+
 def write_archives(blocks: DataFrame, images_meta: DataFrame,
                    cfg: EngineConfig = DEFAULT_CONFIG,
-                   skip_oob: bool = False, codec: str = "jfif") -> DataFrame:
-    """Leaf blocks → one zip archive per image.
+                   skip_oob: bool = False, codec: str = "jfif",
+                   fmt: str | None = None) -> DataFrame:
+    """Leaf blocks → one archive per image (``fmt``: gzip|zip; default from
+    ``cfg.encoding.archive_format``, which mirrors the reference's
+    ``ArchiveFormat: gzip`` default).
 
     ``images_meta``: (image_id, w, h). Exact duplicate blocks within an
     image are stored once; later occurrences become pseudo-symlinks, like
@@ -56,6 +110,9 @@ def write_archives(blocks: DataFrame, images_meta: DataFrame,
     DCT stand-in (same loss model, not wire-JPEG).
     """
     quality = cfg.encoding.block_quality
+    fmt = fmt or cfg.encoding.archive_format
+    if fmt not in ("gzip", "zip"):
+        raise ValueError(f"unknown archive format {fmt!r} (gzip|zip)")
     leaves = (blocks.filter(F.col("is_leaf"))
               .filter(~(F.lit(bool(skip_oob)) & F.col("oob")))
               .select("image_id", "tile_id", "level", "block_px", "block_hash"))
@@ -69,21 +126,20 @@ def write_archives(blocks: DataFrame, images_meta: DataFrame,
 
         image_id = pdf["image_id"].iloc[0]
         w = int(pdf["w"].iloc[0]); h = int(pdf["h"].iloc[0])
-        buf = io.BytesIO()
         seen: dict[int, str] = {}
         pdf = pdf.sort_values("tile_id")
-        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-            z.writestr("meta", f"{tree_height(w, h)}\n{w}\n{h}")
-            for tid, px, bh in zip(pdf["tile_id"], pdf["block_px"], pdf["block_hash"]):
-                path = _tile_to_path(tid)
-                if bh in seen:  # pseudo-symlink: body is the canonical path
-                    z.writestr(path, seen[bh])
-                else:
-                    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(8, 8, 3)
-                    z.writestr(path, encode_image(arr, codec, quality))
-                    seen[bh] = path
-        return pd.DataFrame([{"image_id": image_id, "archive": buf.getvalue(),
-                              "n_members": len(pdf) + 1}])
+        members = [("meta", f"{tree_height(w, h)}\n{w}\n{h}".encode())]
+        for tid, px, bh in zip(pdf["tile_id"], pdf["block_px"], pdf["block_hash"]):
+            path = _tile_to_path(tid)
+            if bh in seen:  # pseudo-symlink: body is the canonical path
+                members.append((path, seen[bh].encode()))
+            else:
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(8, 8, 3)
+                members.append((path, encode_image(arr, codec, quality)))
+                seen[bh] = path
+        return pd.DataFrame([{"image_id": image_id,
+                              "archive": _pack_members(members, fmt),
+                              "n_members": len(members)}])
 
     return joined.groupBy("image_id").applyInPandas(build, ARCHIVES_SCHEMA)
 
@@ -95,7 +151,8 @@ DECODED_SCHEMA = ("image_id string, tile_id string, block_px binary, "
 def read_archives(archives: DataFrame) -> DataFrame:
     """Archives → block rows (the reference's decode-side file cache +
     symlink-follow, ``archive.go:131-248`` / ``quadtreeElement.go:279-310``,
-    as a flat mapInPandas)."""
+    as a flat mapInPandas). Container format (gzip or zip) is sniffed per
+    archive from magic bytes, like ``OpenArchiveReader``."""
 
     def parse(batches):
         import pandas as pd
@@ -105,8 +162,7 @@ def read_archives(archives: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for image_id, data in zip(pdf["image_id"], pdf["archive"]):
-                with zipfile.ZipFile(io.BytesIO(bytes(data))) as z:
-                    members = {n: z.read(n) for n in z.namelist()}  # eager cache
+                members = _unpack_members(bytes(data))  # eager cache
                 meta = members.pop("meta").decode().split("\n")
                 if len(meta) != 3:
                     raise ValueError(f"malformed meta in {image_id}")

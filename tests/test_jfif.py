@@ -153,23 +153,24 @@ def test_read_archives_with_real_jpeg_members(spark):
 
 def test_write_archives_emits_wire_jpeg(spark, tiny_images):
     """The default archive codec is now real JFIF: members must carry the
-    JPEG SOI magic and round-trip through our decoder."""
+    JPEG SOI magic and round-trip through our decoder — in BOTH container
+    formats (the default is the reference's tar.gz)."""
     from quadtree_block_compression_spark.operators.tiling import assign_tiles
-    from quadtree_block_compression_spark.sources.archive import write_archives
+    from quadtree_block_compression_spark.sources.archive import (
+        write_archives, _unpack_members)
 
     imgs = tiny_images.limit(2)
-    arch = write_archives(assign_tiles(imgs), imgs).collect()
-    found_jpeg = False
-    for r in arch:
-        with zipfile.ZipFile(io.BytesIO(bytes(r.archive))) as z:
-            for name in z.namelist():
+    for fmt in ("gzip", "zip"):
+        arch = write_archives(assign_tiles(imgs), imgs, fmt=fmt).collect()
+        found_jpeg = False
+        for r in arch:
+            for name, body in _unpack_members(bytes(r.archive)).items():
                 if name == "meta":
                     continue
-                body = z.read(name)
                 if body[:2] == b"\xff\xd8":
                     found_jpeg = True
                     assert decode_jfif(body).shape == (8, 8, 3)
-    assert found_jpeg
+        assert found_jpeg, fmt
 
 
 def test_jfif_420_self_roundtrip():
