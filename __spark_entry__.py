@@ -223,6 +223,7 @@ _minhash_pairs_sql = f"""
 # ---- hyperplane-LSH constants, shared by ann.py and the DuckDB oracles ----
 
 _LSH_DIM = 64
+_LSH_GATE_N = 500  # embeddings rows at the sf0.01 correctness gate
 _LSH_PLANES = 8   # gate-SF value: auto_num_planes(500, target_bucket) == 8
                   # for BOTH tiers' targets (near-dup 32, top-k 128)
 _LSH_MAX_BUCKET = 100  # near-dup degenerate-bucket cap, mirrored in oracles
@@ -248,7 +249,13 @@ def _lsh_keyed_sql() -> str:
     SAME ±1 hyperplanes as ``ann.hyperplane_signs`` (embedded literals) and
     the same half-signature split as ``ann.cosine_topk_lsh``. Bucket bits
     are projections of the RAW vector; ``vn`` carries the unit vector for
-    the verify stage, exactly like the Spark plan."""
+    the verify stage, exactly like the Spark plan.
+
+    The base CTE carries an ``error()`` guard (ADVICE r3): the embedded
+    plane set is ``auto_num_planes(n)`` evaluated at the sf0.01 gate
+    (n=500), while the Spark side derives it from the LIVE count — at any
+    other SF the two bucketings differ, so instead of an opaque hash
+    mismatch the oracle fails fast with the reason."""
     from quadtree_block_compression_spark.operators.ann import hyperplane_signs
 
     planes = hyperplane_signs(_LSH_PLANES, _LSH_DIM)
@@ -268,7 +275,14 @@ def _lsh_keyed_sql() -> str:
         return expr
 
     return f"""
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE CASE WHEN (SELECT count(*) FROM embeddings) = {_LSH_GATE_N}
+                       THEN TRUE
+                       ELSE error('LSH oracle only valid at the sf0.01 gate '
+                                  || '(n={_LSH_GATE_N}): its {_LSH_PLANES} embedded '
+                                  || 'hyperplanes are auto_num_planes(n) at that '
+                                  || 'size, and the Spark side derives the count '
+                                  || 'from the live table') END),
       sg AS (SELECT vec_id, v, {', '.join(bits)} FROM e),
       kb AS (SELECT vec_id, {_UNIT_SQL.format(v='v')} AS vn,
                     {key(0, half)} AS k1,
@@ -393,9 +407,11 @@ def _snapshot_sql(name: str, invariant: str | None = None) -> str:
 
 def _fixture_dims_values(n: int) -> str:
     """(image_id, w, h) VALUES rows for the first ``n`` fixture images —
-    independent constants (the generator's metadata, no pixel kernel)."""
-    from quadtree_block_compression_spark.fixtures.images import images_pandas
-    pdf = images_pandas(n, seed=42, max_side=128)
+    independent constants from the metadata-only generator view (per-row
+    RNG size draws replayed; NO pixel synthesis or encoding on the oracle
+    side — ADVICE r3)."""
+    from quadtree_block_compression_spark.fixtures.images import images_meta_pandas
+    pdf = images_meta_pandas(n, seed=42, max_side=128)
     return ", ".join(f"('{r.image_id}', {int(r.w)}, {int(r.h)})"
                      for r in pdf.itertuples())
 
@@ -403,9 +419,9 @@ def _fixture_dims_values(n: int) -> str:
 def _archive_meta_values() -> str:
     """(image_id, w, h, tree_height) VALUES rows for the 8 fixture images —
     deterministic pure-function constants, same pattern as PERMS_16."""
-    from quadtree_block_compression_spark.fixtures.images import images_pandas
+    from quadtree_block_compression_spark.fixtures.images import images_meta_pandas
     from quadtree_block_compression_spark.kernels.tiles import tree_height
-    pdf = images_pandas(8, seed=42, max_side=128)
+    pdf = images_meta_pandas(8, seed=42, max_side=128)
     rows = [f"('{r.image_id}', {int(r.w)}, {int(r.h)}, "
             f"{int(tree_height(int(r.w), int(r.h)))})"
             for r in pdf.itertuples()]
@@ -637,6 +653,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")))
         return ann.cosine_topk_bruteforce(emb, q, k=5)
 
+    def _gate_checked_planes(emb, target):
+        # ADVICE r3: the oracle hard-embeds _LSH_PLANES hyperplanes (the
+        # auto_num_planes value at the sf0.01 gate, n=500). Derive the live
+        # count ONCE here and fail loudly if the derivation ever drifts from
+        # the oracle's constant at the gate size (e.g. a changed
+        # auto_num_planes heuristic) — the oracle SQL side carries the
+        # matching n≠500 error() guard.
+        n = emb.count()
+        derived = ann.auto_num_planes(n, target_bucket=target)
+        if n == _LSH_GATE_N and derived != _LSH_PLANES:
+            raise AssertionError(
+                f"auto_num_planes({n}, target_bucket={target}) = {derived}, "
+                f"but the DuckDB oracle embeds {_LSH_PLANES} hyperplanes — "
+                "regenerate the oracle plane set (_lsh_keyed_sql) in the "
+                "same change")
+        return derived
+
     def ann_lsh_topk(spark, sf):
         (emb,) = _tables(spark, sf, "embeddings")
         q = (emb.where(F.col("vec_id") < 10)
@@ -644,7 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multiprobe (Hamming-1 neighbor buckets) + degenerate-bucket cap +
         # size-derived plane count (== _LSH_PLANES at the sf0.01 gate), all
         # mirrored in the oracle
-        return ann.cosine_topk_lsh(emb, q, k=5, dim=64, num_planes=None,
+        planes = _gate_checked_planes(emb, _LSH_TOPK_TARGET)
+        return ann.cosine_topk_lsh(emb, q, k=5, dim=64, num_planes=planes,
                                    max_bucket=_LSH_TOPK_MAX_BUCKET,
                                    multiprobe=True,
                                    target_bucket=_LSH_TOPK_TARGET)
@@ -661,11 +695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hyperplane buckets). The exact brute-force tier remains available
         # as ann.cosine_topk_bruteforce / tests' cross-check.
         (emb,) = _tables(spark, sf, "embeddings")
-        # num_planes=None: derived from table size (== _LSH_PLANES at the
+        # plane count derived from table size (== _LSH_PLANES at the
         # sf0.01 gate, more planes as the table grows); max_bucket guards the
         # degenerate-bucket n² residue — both mirrored in the oracle
+        planes = _gate_checked_planes(emb, 32)
         return ann.embedding_near_dup_pairs(emb, threshold=_NEAR_DUP_COS,
-                                            dim=_LSH_DIM, num_planes=None,
+                                            dim=_LSH_DIM, num_planes=planes,
                                             max_bucket=_LSH_MAX_BUCKET)
 
     # ---------------- spatial layer ----------------------------------------

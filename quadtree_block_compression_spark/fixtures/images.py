@@ -89,6 +89,29 @@ def images_pandas(n_rows: int, seed: int = 42, fmt_cycle: tuple[str, ...] = ("pn
     return df
 
 
+def images_meta_pandas(n_rows: int, seed: int = 42,
+                       max_side: int = 512) -> pd.DataFrame:
+    """Metadata-only fixture view: (image_id, w, h, caption) for the first
+    ``n_rows`` fixture images WITHOUT synthesizing or encoding any pixels
+    (ADVICE r3: oracle-side dims must not run the pixel kernel). The sizes
+    are the first two draws of each row's private RNG stream, replayed here
+    exactly as :func:`images_pandas` draws them; kept adjacent to it so a
+    change to the draw order changes both (pinned by a fixture test)."""
+    rows = []
+    sizes = [s for s in _SIZES if s <= max_side]
+    for i in range(n_rows):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        cls = _CLASSES[i % len(_CLASSES)]
+        w = int(sizes[int(rng.integers(0, len(sizes)))])
+        h = int(sizes[int(rng.integers(0, len(sizes)))])
+        rows.append({"image_id": f"img_{i:08d}", "w": w, "h": h,
+                     "caption": f"{_CAPTIONS[i % len(_CAPTIONS)]} [{cls}#{i}]"})
+    df = pd.DataFrame(rows)
+    df["w"] = df["w"].astype("int32")
+    df["h"] = df["h"].astype("int32")
+    return df
+
+
 def generate_images(spark, n_rows: int, seed: int = 42, partitions: int | None = None,
                     max_side: int = 512):
     """Distributed deterministic generation: the seed stream is per-row, so

@@ -11,6 +11,13 @@ the life of the session (the round-2 bench regression amplifier).
 ``unpersist()`` on a frame another in-flight plan still references is safe
 in Spark: blocks are dropped and any later use recomputes from lineage —
 correctness is never at stake, only (bounded) recomputation.
+
+The registry is scoped PER DRIVER THREAD (ADVICE r3): a multi-threaded
+driver that starts query B on one thread must not unpersist query A's
+in-flight intermediates on another — releases only ever touch frames the
+calling thread registered. A thread pool that retires a thread without a
+final release can strand its entries; ``release_caches(all_threads=True)``
+is the session-teardown escape hatch.
 """
 
 from __future__ import annotations
@@ -20,23 +27,31 @@ import threading
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-_TRACKED: list[DataFrame] = []
+_TRACKED: dict[int, list[DataFrame]] = {}  # thread ident → tracked frames
 _LOCK = threading.Lock()  # drivers may run queries from multiple threads
 
 
 def persist_tracked(df: DataFrame,
                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
-    """Persist ``df`` and register it for the next ``release_caches()``."""
+    """Persist ``df`` and register it for the next ``release_caches()``
+    issued by THIS thread."""
     df = df.persist(level)
     with _LOCK:
-        _TRACKED.append(df)
+        _TRACKED.setdefault(threading.get_ident(), []).append(df)
     return df
 
 
-def release_caches() -> int:
-    """Unpersist every tracked frame (non-blocking); returns how many."""
+def release_caches(all_threads: bool = False) -> int:
+    """Unpersist the calling thread's tracked frames (non-blocking);
+    returns how many. ``all_threads=True`` drains every thread's registry
+    (session teardown only — mid-flight it reintroduces the cross-thread
+    release the per-thread scoping exists to prevent)."""
     with _LOCK:
-        batch, _TRACKED[:] = list(_TRACKED), []
+        if all_threads:
+            batch = [df for lst in _TRACKED.values() for df in lst]
+            _TRACKED.clear()
+        else:
+            batch = _TRACKED.pop(threading.get_ident(), [])
     released = 0
     for df in batch:
         try:
@@ -50,6 +65,8 @@ def release_caches() -> int:
     return released
 
 
-def tracked_count() -> int:
+def tracked_count(all_threads: bool = False) -> int:
     with _LOCK:
-        return len(_TRACKED)
+        if all_threads:
+            return sum(len(v) for v in _TRACKED.values())
+        return len(_TRACKED.get(threading.get_ident(), []))

@@ -388,16 +388,26 @@ def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int,
 
 
 def encode_jfif(img: np.ndarray, quality: int = 75,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """Encode (h, w, 3) uint8 RGB → baseline JFIF bytes.
 
     ``subsampling``: ``"444"`` (one 8×8 MCU, chroma at full resolution) or
     ``"420"`` (16×16 MCU: four Y blocks + 2×2-box-downsampled Cb, Cr — the
     layout Go's stdlib encoder emits, ``quadtreeElement.go:254``, so output
     is wire-compatible with reference-produced archives in both directions).
+
+    ``restart_interval``: if > 0, emit a DRI segment and an RSTn marker
+    every that many MCUs (T.81 §B.2.4.4/§E.1.4): byte-align with 1-fill
+    bits, cycle RST0–RST7, reset every DC predictor. Restart markers make
+    the entropy stream independently decodable per interval — the
+    parallel-decode hook — and are required for byte-level interop with
+    encoders that default DRI on.
     """
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval must be in [0, 65535]")
     img = np.ascontiguousarray(img[:, :, :3], dtype=np.uint8)
     h, w = img.shape[:2]
     mcu = 8 if subsampling == "444" else 16
@@ -410,12 +420,22 @@ def encode_jfif(img: np.ndarray, quality: int = 75,
     enc_ac = [_build_encode_table(*_AC_LUM), _build_encode_table(*_AC_CHR)]
     bw = _BitWriter()
     preds = [0, 0, 0]
+    rst = [0]  # next RSTn index (mod 8)
+
+    def maybe_restart(mcu_idx: int) -> None:
+        # T.81 §E.1.4: byte-align (1-fill), emit RSTn, reset DC predictors
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst[0] % 8)])
+            rst[0] += 1
+            preds[:] = [0, 0, 0]
 
     if subsampling == "444":
         zz = [_plane_to_zz(ycc[:, :, ci], qy if ci == 0 else qc)
               for ci in range(3)]
         for by in range(ph // 8):
             for bx in range(pw // 8):
+                maybe_restart(by * (pw // 8) + bx)
                 for ci in range(3):
                     t = 0 if ci == 0 else 1
                     preds[ci] = _encode_block(bw, zz[ci][by, bx], preds[ci],
@@ -429,6 +449,7 @@ def encode_jfif(img: np.ndarray, quality: int = 75,
         zz_c = [_plane_to_zz(c, qc) for c in chroma]
         for my in range(ph // 16):
             for mx in range(pw // 16):
+                maybe_restart(my * (pw // 16) + mx)
                 for by in range(2):
                     for bx in range(2):
                         preds[0] = _encode_block(
@@ -449,10 +470,13 @@ def encode_jfif(img: np.ndarray, quality: int = 75,
 
     sof = struct.pack(">BHHB", 8, h, w, 3) + samp
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = (_seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     return (b"\xff\xd8"
             + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
             + _seg(0xDB, dqt(0, qy)) + _seg(0xDB, dqt(1, qc))
             + _seg(0xC0, sof)
             + _seg(0xC4, dht(0, 0, _DC_LUM)) + _seg(0xC4, dht(1, 0, _AC_LUM))
             + _seg(0xC4, dht(0, 1, _DC_CHR)) + _seg(0xC4, dht(1, 1, _AC_CHR))
+            + dri
             + _seg(0xDA, sos) + bytes(bw.out) + b"\xff\xd9")

@@ -82,3 +82,37 @@ def test_spread_parallelizes_tiny_scans(spark):
     assert sorted(r.id for r in sp.collect()) == list(range(1000))
     wide = spark.range(1000).repartition(64)
     assert spread(wide) is wide
+
+
+def test_release_is_scoped_to_the_calling_thread(spark):
+    """ADVICE r3: a query boundary on one driver thread must not unpersist
+    another thread's in-flight caches."""
+    import threading
+
+    release_caches()
+    base = _sql_cache_size(spark)
+    other_ready = threading.Event()
+    main_released = threading.Event()
+    results = {}
+
+    def worker():
+        df = spark.range(50)
+        persist_tracked(df)
+        df.count()
+        other_ready.set()
+        main_released.wait(timeout=30)
+        # main thread's release must NOT have touched this thread's cache
+        results["still_cached_after_main_release"] = \
+            _sql_cache_size(spark) - base
+        results["worker_released"] = release_caches()
+
+    t = threading.Thread(target=worker)
+    t.start()
+    other_ready.wait(timeout=30)
+    assert release_caches() == 0  # nothing registered by THIS thread
+    main_released.set()
+    t.join(timeout=60)
+    assert results["still_cached_after_main_release"] == 1
+    assert results["worker_released"] == 1
+    assert _sql_cache_size(spark) == base
+    assert tracked_count(all_threads=True) == 0

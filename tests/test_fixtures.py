@@ -25,3 +25,16 @@ def test_generate_images_partition_invariant(spark):
     a = {r.image_id: bytes(r.bytes) for r in generate_images(spark, 8, 42, partitions=1).collect()}
     b = {r.image_id: bytes(r.bytes) for r in generate_images(spark, 8, 42, partitions=8).collect()}
     assert a == b
+
+
+def test_images_meta_matches_full_generator():
+    """The metadata-only view (ADVICE r3: oracle-side dims without the
+    pixel kernel) must replay the EXACT size draws of the full generator —
+    any drift in the per-row RNG draw order breaks the archive oracles."""
+    from quadtree_block_compression_spark.fixtures.images import (
+        images_pandas, images_meta_pandas)
+    full = images_pandas(16, seed=42, max_side=128)
+    meta = images_meta_pandas(16, seed=42, max_side=128)
+    assert list(meta.columns) == ["image_id", "w", "h", "caption"]
+    for col in ("image_id", "w", "h", "caption"):
+        assert list(meta[col]) == list(full[col]), col

@@ -222,3 +222,35 @@ def test_jfif_fill_bytes_between_segments():
     assert len(padded) == len(good) + 5
     a, b = decode_jfif(good), decode_jfif(padded)
     assert np.array_equal(a, b)
+
+
+def test_jfif_restart_markers_interop_both_samplings(spark):
+    """VERDICT r3 #7: encode-side DRI/RSTn (T.81 §E.1.4). The encoded
+    stream must (a) carry a DRI segment and byte-aligned RST0-7 cycling
+    markers, (b) self-decode, and (c) decode in the independent Java
+    ImageIO implementation, at 4:4:4 and 4:2:0."""
+    img = _gradient(40, 56)  # 444: 35 MCUs; 420: 12 MCUs
+    for samp, ri in (("444", 4), ("420", 3)):
+        data = encode_jfif(img, 85, subsampling=samp, restart_interval=ri)
+        # DRI segment present with the declared interval
+        i = data.find(b"\xff\xdd")
+        assert i >= 0
+        assert data[i + 2:i + 6] == b"\x00\x04" + ri.to_bytes(2, "big")
+        # RSTn markers cycle 0xD0..0xD7 in order
+        rsts = []
+        j = data.find(b"\xff\xda")
+        scan = data[j:]
+        k = 0
+        while k < len(scan) - 1:
+            if scan[k] == 0xFF and 0xD0 <= scan[k + 1] <= 0xD7:
+                rsts.append(scan[k + 1] - 0xD0)
+            k += 1
+        assert len(rsts) > 0
+        assert rsts == [n % 8 for n in range(len(rsts))]
+        # self-decode and independent decode both reconstruct the image
+        assert psnr(img, decode_jfif(data)) >= 40, samp
+        back = _imageio_decode(spark, data)
+        assert psnr(img, back) >= 40, samp
+        # no-DRI stream of the same content stays available (regression)
+        plain = encode_jfif(img, 85, subsampling=samp)
+        assert b"\xff\xdd" not in plain[:plain.find(b"\xff\xda")]
