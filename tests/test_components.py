@@ -153,3 +153,44 @@ def test_alternating_vs_recursive_cte_oracle(spark):
     want = {int(r[0]): (int(r[1]), int(r[2]), bool(r[3]))
             for r in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_random_graphs_both_algorithms_vs_union_find(spark):
+    """Property check: on seeded random graphs (mixed chains, stars,
+    cycles, cliques, singletons), BOTH algorithms must equal a pure-python
+    union-find ground truth — and therefore each other."""
+    import numpy as np
+
+    def union_find_components(ids, edges):
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a in parent and b in parent:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        comp = {i: find(i) for i in ids}
+        sizes = {}
+        for c in comp.values():
+            sizes[c] = sizes.get(c, 0) + 1
+        return {i: (comp[i], sizes[comp[i]], i == comp[i]) for i in ids}
+
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        n = int(rng.integers(30, 120))
+        ids = sorted(rng.choice(10_000, size=n, replace=False).tolist())
+        m = int(rng.integers(0, 2 * n))
+        edges = [(int(rng.choice(ids)), int(rng.choice(ids)))
+                 for _ in range(m)]
+        # plus edges referencing ids OUTSIDE the node set (must not bridge)
+        edges += [(ids[0], 99_999), (99_999, ids[-1])]
+        want = union_find_components(ids, edges)
+        for alg in ("propagation", "alternating"):
+            got = _run_alg(spark, ids, edges, algorithm=alg, max_iters=200)
+            assert got == want, (trial, alg)
