@@ -69,12 +69,20 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     # the restriction the label join silently drops such edges here while
     # a reachability-based oracle would follow them, and the "component"
     # could even be labeled by an id that no longer exists.
-    a = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-    b = pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
+    # pairs is referenced by BOTH union branches below; without a persist
+    # the upstream pair-generating plan (e.g. the MinHash-LSH band join)
+    # executes twice inside the one checkpoint job. Tracked → released at
+    # the caller's query boundary.
+    from ..functions.cache import persist_tracked
+    pairs2 = persist_tracked(pairs.select(F.col(a_col).alias("a"),
+                                          F.col(b_col).alias("b")))
+    a = pairs2.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    b = pairs2.select(F.col("b").alias("x"), F.col("a").alias("y"))
     edges = (a.unionByName(b).distinct()
              .join(node_ids, "x", "left_semi")
              .join(node_ids.withColumnRenamed("x", "y"), "y", "left_semi")
              .localCheckpoint(eager=True))
+    pairs2.unpersist()  # checkpoint materialized; nothing re-reads pairs
 
     labels = None
     if algorithm in ("auto", "propagation"):
