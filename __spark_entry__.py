@@ -743,6 +743,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = spatial_join.spatial_join_broadcast(pts, tris)
         return hits.select(F.col("image_id").alias("point_id"), "geom_id")
 
+    def spatial_distance_join(spark, sf):
+        """All customer-point pairs within radius 20,000 (world 2^20): grid
+        cells of side r, 3×3-neighborhood equi-join on the two grid
+        coordinates, exact d² filter — never quadratic, no theta-join.
+        d² is emitted as EXACT BIGINT (integer-valued coordinates), so the
+        oracle hash needs no float rounding."""
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        pts = cust.select(
+            F.col("c_custkey").cast("long").alias("point_id"),
+            ((F.col("c_custkey") * _PX) % _W).cast("double").alias("wx"),
+            ((F.col("c_custkey") * _PY) % _W).cast("double").alias("wy"))
+        return spatial_join.distance_join(pts, radius=20_000.0)
+
+    def events_asof_join(spark, sf):
+        """Event-time AS-OF join (purchase ← latest click at-or-before, per
+        user): union + ONE key shuffle + running last(ignorenulls) window —
+        the merge-sorted as-of with zero joins. NULL asof columns (no prior
+        click) are coalesced to sentinels on both engines (pandas turns a
+        nullable BIGINT oracle column into float64 otherwise)."""
+        from quadtree_block_compression_spark.streaming.windows import asof_join
+        (events,) = _tables(spark, sf, "events")
+        out = asof_join(events, left_type="purchase", right_type="click")
+        return out.select(
+            "left_event_id", "user_id",
+            F.date_format("left_ts", "yyyy-MM-dd HH:mm:ss").alias("left_ts"),
+            F.coalesce("asof_event_id", F.lit(-1)).alias("asof_event_id"),
+            F.coalesce(F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss"),
+                       F.lit("1970-01-01 00:00:00")).alias("asof_ts"))
+
     def knn_points(spark, sf):
         import pandas as pd
         nat = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey").collect()
@@ -982,6 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_rects": spatial_join_rects,
         "spatial_join_salted_rects": spatial_join_salted_rects,
         "spatial_join_triangles": spatial_join_triangles,
+        "spatial_distance_join": spatial_distance_join,
+        "events_asof_join": events_asof_join,
         "knn_points": knn_points,
         "quadtree_tile_assign": quadtree_tile_assign,
         "quadtree_roundtrip": quadtree_roundtrip,
@@ -1108,6 +1139,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
                      AS sum_value_micros
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof_join": """
+            -- independent semantics: DuckDB's NATIVE ASOF JOIN vs the
+            -- Spark union+window merge-sorted plan. Right side pre-deduped
+            -- to max(event_id) per (user, ts) — the tie rule both engines
+            -- then share; sentinels replace NULLs (nullable BIGINT becomes
+            -- float64 through pandas otherwise)
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
+                  WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT l.event_id AS left_event_id, l.user_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS left_ts,
+                   coalesce(r.event_id, -1) AS asof_event_id,
+                   coalesce(strftime(r.ts, '%Y-%m-%d %H:%M:%S'),
+                            '1970-01-01 00:00:00') AS asof_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "spatial_distance_join": f"""
+            -- brute-force O(n²) reference for the grid-bucketed radius
+            -- join: every pair within 20,000; d² exact in BIGINT
+            WITH p AS (
+              SELECT CAST(c_custkey AS BIGINT) AS point_id,
+                     CAST((CAST(c_custkey AS BIGINT) * {_PX}) % {_W} AS DOUBLE) AS wx,
+                     CAST((CAST(c_custkey AS BIGINT) * {_PY}) % {_W} AS DOUBLE) AS wy
+              FROM customer)
+            SELECT a.point_id AS point_a, b.point_id AS point_b,
+                   CAST((a.wx - b.wx) * (a.wx - b.wx)
+                        + (a.wy - b.wy) * (a.wy - b.wy) AS BIGINT) AS d2
+            FROM p a JOIN p b ON a.point_id < b.point_id
+            WHERE (a.wx - b.wx) * (a.wx - b.wx)
+                  + (a.wy - b.wy) * (a.wy - b.wy) <= 20000.0 * 20000.0
         """,
         "events_sessionize": """
             WITH marked AS (

@@ -154,3 +154,52 @@ def spatial_join_salted(points: DataFrame, geoms: DataFrame,
     out_cols = ["image_id", "tile_id", "geom_id", "wx", "wy"]
     return (cold_hits.select(out_cols).unionByName(hot_hits.select(out_cols))
             .dropDuplicates(["image_id", "tile_id", "geom_id"]))
+
+
+def distance_join(points: DataFrame, radius: float,
+                  id_col: str = "point_id",
+                  x_col: str = "wx", y_col: str = "wy") -> DataFrame:
+    """All point pairs within Euclidean ``radius`` — the classic radius
+    (distance) self-join, grid-bucketed so it never goes quadratic.
+
+    Plan: key every point to a grid of cell side ``radius`` (any pair
+    within ``radius`` then lies in the same or an adjacent cell); one side
+    is exploded to its 3×3 cell neighborhood and equi-joined on the two
+    grid coordinates (JVM-side, shuffle bounded by local density × 9 — no
+    theta-join, no cartesian). The exact predicate filters candidates;
+    ``id_a < id_b`` emits each unordered pair exactly once (a pair is
+    found in both join directions, the order filter keeps one; within one
+    direction the neighborhood contains the partner's cell exactly once,
+    so no distinct is needed).
+
+    Returns (point_a, point_b, d2) with ``d2`` the EXACT squared distance
+    as BIGINT (inputs are integer-valued doubles; squared sums stay well
+    under 2^53, so both engines agree bit-for-bit — no float hashing).
+    Generalizes the reference's pairwise pixel-distance predicates
+    (``pkg/quadtreeImage/quadtreeElement.go:176-221`` compares blocks
+    pairwise) to the spatial tier.
+    """
+    r = float(radius)
+    gx = F.floor(F.col(x_col) / F.lit(r))
+    gy = F.floor(F.col(y_col) / F.lit(r))
+    base = points.select(F.col(id_col).alias("_id"),
+                         F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+                         gx.alias("_gx"), gy.alias("_gy"))
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    probe = (base
+             .withColumn("_dx", F.explode(offs))
+             .withColumn("_dy", F.explode(offs))
+             .select(F.col("_id").alias("point_a"),
+                     F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                     (F.col("_gx") + F.col("_dx")).alias("_gx"),
+                     (F.col("_gy") + F.col("_dy")).alias("_gy")))
+    build = base.select(F.col("_id").alias("point_b"),
+                        F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                        "_gx", "_gy")
+    d2 = ((F.col("_ax") - F.col("_bx")) ** 2
+          + (F.col("_ay") - F.col("_by")) ** 2)
+    return (probe.join(build, ["_gx", "_gy"])
+            .where(F.col("point_a") < F.col("point_b"))
+            .withColumn("d2", d2)
+            .where(F.col("d2") <= F.lit(r * r))
+            .select("point_a", "point_b", F.col("d2").cast("long").alias("d2")))

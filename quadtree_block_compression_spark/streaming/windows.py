@@ -87,3 +87,46 @@ def streaming_event_counts(spark, source_df: DataFrame | None = None,
             .groupBy(F.window("ts", f"{minutes} minutes").alias("win"), "event_type")
             .agg(F.count("*").alias("n_events"))
             .select(F.col("win.start").alias("win_start"), "event_type", "n_events"))
+
+
+def asof_join(events: DataFrame, left_type: str, right_type: str,
+              key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Event-time AS-OF join: for every ``left_type`` event, the latest
+    ``right_type`` event by the same key at or before its timestamp.
+
+    Spark-first plan — NO join at all: union both event streams, ONE
+    shuffle on the key, and a running ``last(..., ignorenulls=True)``
+    window ordered by (ts, kind, event_id) carries the most recent right
+    event forward onto each left row (the merge-sorted as-of the
+    time-series engines special-case, expressed with the primitives
+    Catalyst already has). Right events sort BEFORE left events at an
+    equal timestamp, so "at or before" includes same-instant matches;
+    equal-timestamp right events resolve to the highest event_id
+    (deterministic, mirrored in the oracle). Unmatched left rows keep
+    NULL asof columns (left as-of).
+
+    At 100 TB this is one hash exchange on the key plus a per-key sorted
+    scan — no range-join blowup, no per-key collect; skewed keys spill
+    within their task like any window.
+    """
+    from pyspark.sql import Window
+
+    both = (events
+            .where(F.col("event_type").isin(left_type, right_type))
+            .select("event_id", key_col, ts_col, "event_type",
+                    F.when(F.col("event_type") == right_type, 0)
+                    .otherwise(1).alias("_kind")))
+    w = (Window.partitionBy(key_col)
+         .orderBy(ts_col, "_kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    right_id = F.when(F.col("_kind") == 0, F.col("event_id"))
+    right_ts = F.when(F.col("_kind") == 0, F.col(ts_col))
+    carried = both.select(
+        "event_id", key_col, ts_col, "_kind",
+        F.last(right_id, ignorenulls=True).over(w).alias("asof_event_id"),
+        F.last(right_ts, ignorenulls=True).over(w).alias("asof_ts"))
+    return (carried.where(F.col("_kind") == 1)
+            .select(F.col("event_id").alias("left_event_id"),
+                    key_col,
+                    F.col(ts_col).alias("left_ts"),
+                    "asof_event_id", "asof_ts"))

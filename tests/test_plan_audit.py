@@ -20,5 +20,6 @@ def test_all_plan_properties_hold(spark):
                     "embedding_near_dup", "ann_lsh_topk", "ngram_jaccard",
                     "q5_local_supplier_volume", "assign_tiles",
                     "text_quality", "corpus_clean", "ivf_probe_index",
-                    "vocab_topk", "corpus_stats"):
+                    "vocab_topk", "corpus_stats",
+                    "spatial_distance_join", "events_asof_join"):
         assert f"## {section}" in text, section

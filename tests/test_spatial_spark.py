@@ -147,3 +147,61 @@ def test_knn_k_respected(points, spark):
     assert per_q.filter(F.col("count") > F.col("k")).count() == 0
     # ranks are 1..n contiguous
     assert got.filter("rank < 1").count() == 0
+
+
+def test_distance_join_exact_pairs_and_plan(spark):
+    """Grid-bucketed radius join: exact pair set vs brute force on a
+    deterministic layout (incl. pairs straddling cell borders), each pair
+    exactly once, d2 exact; plan is an equi-join, never cartesian."""
+    import itertools
+    import pandas as pd
+
+    from quadtree_block_compression_spark.operators.spatial_join import (
+        distance_join)
+
+    pts = [(1, 0.0, 0.0), (2, 9.0, 0.0), (3, 19.0, 0.0),   # chain across cells
+           (4, 100.0, 100.0), (5, 104.0, 103.0),            # close pair
+           (6, 500.0, 500.0)]                               # isolated
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["point_id", "wx", "wy"]))
+    out = distance_join(df, radius=10.0)
+    got = {(r.point_a, r.point_b): r.d2 for r in out.collect()}
+    want = {}
+    for (ia, xa, ya), (ib, xb, yb) in itertools.combinations(pts, 2):
+        d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+        if d2 <= 100.0:
+            want[(min(ia, ib), max(ia, ib))] = int(d2)
+    assert got == want and (1, 2) in got and (2, 3) in got and (1, 3) not in got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_semantics(spark):
+    """As-of: latest right at-or-before per key; same-instant right counts;
+    equal-ts rights resolve to max event_id; no prior right -> NULLs."""
+    import pandas as pd
+
+    from quadtree_block_compression_spark.streaming.windows import asof_join
+
+    rows = [
+        # (event_id, user, ts, type)
+        (1, 1, "2024-01-01 10:00:00", "click"),
+        (2, 1, "2024-01-01 10:05:00", "click"),
+        (3, 1, "2024-01-01 10:05:00", "click"),   # tie: max id wins
+        (4, 1, "2024-01-01 10:05:00", "purchase"),  # same instant as 2/3
+        (5, 1, "2024-01-01 11:00:00", "purchase"),
+        (6, 2, "2024-01-01 09:00:00", "purchase"),  # user 2: no click before
+        (7, 2, "2024-01-01 09:30:00", "click"),
+        (8, 2, "2024-01-01 09:45:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type"]))
+    ev = ev.withColumn("ts", ev.ts.cast("timestamp"))
+    out = {r.left_event_id: (r.asof_event_id, r.asof_ts)
+           for r in asof_join(ev, "purchase", "click").collect()}
+    assert out[4][0] == 3           # same-instant tie -> max click id
+    assert out[5][0] == 3           # carried forward
+    assert out[6] == (None, None)   # nothing at or before
+    assert out[8][0] == 7
+    assert set(out) == {4, 5, 6, 8}
