@@ -60,6 +60,21 @@ def _pixels(cls: str, w: int, h: int, rng: np.random.Generator) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def _row_draws(i: int, seed: int, max_side: int):
+    """THE per-row draw sequence — the single definition of row ``i``'s
+    private RNG stream and its first draws (class, w, h, caption). Every
+    generator (pandas, distributed, metadata-only) replays exactly this,
+    so a change to the draw order cannot drift between them. Returns
+    (rng, cls, w, h, caption); callers draw pixels from ``rng`` next."""
+    sizes = [s for s in _SIZES if s <= max_side]
+    rng = np.random.default_rng(seed * 1_000_003 + i)  # per-row stream -> order-independent
+    cls = _CLASSES[i % len(_CLASSES)]
+    w = int(sizes[int(rng.integers(0, len(sizes)))])
+    h = int(sizes[int(rng.integers(0, len(sizes)))])
+    caption = f"{_CAPTIONS[i % len(_CAPTIONS)]} [{cls}#{i}]"
+    return rng, cls, w, h, caption
+
+
 def images_pandas(n_rows: int, seed: int = 42, fmt_cycle: tuple[str, ...] = ("png", "jpeg", "raw"),
                   max_side: int = 512) -> pd.DataFrame:
     """Generate ``n_rows`` deterministic image rows as a pandas DataFrame."""
@@ -67,19 +82,15 @@ def images_pandas(n_rows: int, seed: int = 42, fmt_cycle: tuple[str, ...] = ("pn
     from ..kernels.phash import phash64
 
     rows = []
-    sizes = [s for s in _SIZES if s <= max_side]
     for i in range(n_rows):
-        rng = np.random.default_rng(seed * 1_000_003 + i)  # per-row stream → order-independent
-        cls = _CLASSES[i % len(_CLASSES)]
-        w = int(sizes[int(rng.integers(0, len(sizes)))])
-        h = int(sizes[int(rng.integers(0, len(sizes)))])
+        rng, cls, w, h, caption = _row_draws(i, seed, max_side)
         fmt = fmt_cycle[i % len(fmt_cycle)]
         img = _pixels(cls, w, h, rng)
         rows.append({
             "image_id": f"img_{i:08d}",
             "bytes": encode_image(img, fmt),
             "w": w, "h": h, "fmt": fmt,
-            "caption": f"{_CAPTIONS[i % len(_CAPTIONS)]} [{cls}#{i}]",
+            "caption": caption,
             "phash": int(phash64(img)),
         })
     df = pd.DataFrame(rows)
@@ -94,18 +105,13 @@ def images_meta_pandas(n_rows: int, seed: int = 42,
     """Metadata-only fixture view: (image_id, w, h, caption) for the first
     ``n_rows`` fixture images WITHOUT synthesizing or encoding any pixels
     (ADVICE r3: oracle-side dims must not run the pixel kernel). The sizes
-    are the first two draws of each row's private RNG stream, replayed here
-    exactly as :func:`images_pandas` draws them; kept adjacent to it so a
-    change to the draw order changes both (pinned by a fixture test)."""
+    come from :func:`_row_draws`, the single shared definition of the
+    per-row stream (pinned by a fixture test)."""
     rows = []
-    sizes = [s for s in _SIZES if s <= max_side]
     for i in range(n_rows):
-        rng = np.random.default_rng(seed * 1_000_003 + i)
-        cls = _CLASSES[i % len(_CLASSES)]
-        w = int(sizes[int(rng.integers(0, len(sizes)))])
-        h = int(sizes[int(rng.integers(0, len(sizes)))])
+        _rng, _cls, w, h, caption = _row_draws(i, seed, max_side)
         rows.append({"image_id": f"img_{i:08d}", "w": w, "h": h,
-                     "caption": f"{_CAPTIONS[i % len(_CAPTIONS)]} [{cls}#{i}]"})
+                     "caption": caption})
     df = pd.DataFrame(rows)
     df["w"] = df["w"].astype("int32")
     df["h"] = df["h"].astype("int32")
@@ -125,18 +131,14 @@ def generate_images(spark, n_rows: int, seed: int = 42, partitions: int | None =
     def gen(batches):
         from ..kernels.codecs import encode_image
         from ..kernels.phash import phash64
-        sizes = [s for s in _SIZES if s <= max_side]
         for pdf in batches:
             out = []
             for i in pdf["id"].tolist():
-                rng = np.random.default_rng(seed * 1_000_003 + i)
-                cls = _CLASSES[i % len(_CLASSES)]
-                w = int(sizes[int(rng.integers(0, len(sizes)))])
-                h = int(sizes[int(rng.integers(0, len(sizes)))])
+                rng, cls, w, h, caption = _row_draws(i, seed, max_side)
                 fmt = ("png", "jpeg", "raw")[i % 3]
                 img = _pixels(cls, w, h, rng)
                 out.append((f"img_{i:08d}", encode_image(img, fmt), w, h, fmt,
-                            f"{_CAPTIONS[i % len(_CAPTIONS)]} [{cls}#{i}]", int(phash64(img))))
+                            caption, int(phash64(img))))
             yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h",
                                              "fmt", "caption", "phash"])
 

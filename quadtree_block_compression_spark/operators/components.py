@@ -82,7 +82,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
              .join(node_ids, "x", "left_semi")
              .join(node_ids.withColumnRenamed("x", "y"), "y", "left_semi")
              .localCheckpoint(eager=True))
-    pairs2.unpersist()  # checkpoint materialized; nothing re-reads pairs
+    # pairs2 stays registered until the caller's query-boundary release —
+    # a manual unpersist here would leave a stale registry entry behind
 
     labels = None
     if algorithm in ("auto", "propagation"):

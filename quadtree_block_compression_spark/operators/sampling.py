@@ -80,8 +80,11 @@ def corpus_stats(docs: DataFrame, value_col: str = "n_chars",
         F.sum("_c").over(w).alias("_cum"),
         F.sum("_c").over(wc).alias("_n"))
     aggs = [F.sum("_c").cast("long").alias("n_docs"),
-            F.sum(F.col(value_col).cast("long") * F.col("_c"))
-            .cast("long").alias("total"),
+            # multiply BEFORE any cast: value×count is exact long math for
+            # integral value columns, and for a double value column the
+            # truncation happens once on the TOTAL (like the pre-histogram
+            # form), not per distinct value
+            F.sum(F.col(value_col) * F.col("_c")).cast("long").alias("total"),
             F.min(value_col).alias("min_v"),
             F.max(value_col).alias("max_v")]
     for q in quantiles:

@@ -179,9 +179,14 @@ def distance_join(points: DataFrame, radius: float,
     (``pkg/quadtreeImage/quadtreeElement.go:176-221`` compares blocks
     pairwise) to the spatial tier.
     """
+    from ..functions.parallelism import spread
+
     r = float(radius)
     gx = F.floor(F.col(x_col) / F.lit(r))
     gy = F.floor(F.col(y_col) / F.lit(r))
+    # explode-heavy: a single-file scan is ONE partition regardless of
+    # maxPartitionBytes and would serialize the 9× fan-out stage
+    points = spread(points)
     base = points.select(F.col(id_col).alias("_id"),
                          F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
                          gx.alias("_gx"), gy.alias("_gy"))

@@ -113,20 +113,25 @@ def asof_join(events: DataFrame, left_type: str, right_type: str,
 
     both = (events
             .where(F.col("event_type").isin(left_type, right_type))
+            .where(F.col(ts_col).isNotNull())  # no event time → no as-of
             .select("event_id", key_col, ts_col, "event_type",
                     F.when(F.col("event_type") == right_type, 0)
                     .otherwise(1).alias("_kind")))
     w = (Window.partitionBy(key_col)
          .orderBy(ts_col, "_kind", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
-    right_id = F.when(F.col("_kind") == 0, F.col("event_id"))
-    right_ts = F.when(F.col("_kind") == 0, F.col(ts_col))
+    # ONE struct carries (ts, id) atomically — two independent
+    # last(ignorenulls) columns could pair an id with a DIFFERENT row's
+    # timestamp if either piece were ever null-skipped independently
+    right = F.when(F.col("_kind") == 0,
+                   F.struct(F.col(ts_col).alias("ts"),
+                            F.col("event_id").alias("event_id")))
     carried = both.select(
         "event_id", key_col, ts_col, "_kind",
-        F.last(right_id, ignorenulls=True).over(w).alias("asof_event_id"),
-        F.last(right_ts, ignorenulls=True).over(w).alias("asof_ts"))
+        F.last(right, ignorenulls=True).over(w).alias("_asof"))
     return (carried.where(F.col("_kind") == 1)
             .select(F.col("event_id").alias("left_event_id"),
                     key_col,
                     F.col(ts_col).alias("left_ts"),
-                    "asof_event_id", "asof_ts"))
+                    F.col("_asof.event_id").alias("asof_event_id"),
+                    F.col("_asof.ts").alias("asof_ts")))

@@ -116,3 +116,29 @@ def test_release_is_scoped_to_the_calling_thread(spark):
     assert results["worker_released"] == 1
     assert _sql_cache_size(spark) == base
     assert tracked_count(all_threads=True) == 0
+
+
+def test_dead_thread_caches_drain_at_next_boundary(spark):
+    """A thread-per-query driver must not strand caches: frames registered
+    by a thread that has EXITED are drained by the next release_caches()
+    on any thread (a dead thread cannot be mid-query, so this is pure
+    teardown, not a cross-thread kill)."""
+    import threading
+
+    release_caches()
+    base = _sql_cache_size(spark)
+
+    def worker():
+        df = spark.range(64)
+        persist_tracked(df)
+        df.count()
+        # exits WITHOUT releasing — the stranding case
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert _sql_cache_size(spark) == base + 1  # stranded for now
+    assert release_caches() == 1               # drained here, on main
+    assert _sql_cache_size(spark) == base
+    assert tracked_count(all_threads=True) == 0

@@ -205,3 +205,28 @@ def test_asof_join_semantics(spark):
     assert out[6] == (None, None)   # nothing at or before
     assert out[8][0] == 7
     assert set(out) == {4, 5, 6, 8}
+
+
+def test_asof_join_null_ts_rows_excluded(spark):
+    """A right-side row with NULL ts must not contribute (and must never
+    mispair an event_id with another row's timestamp); NULL-ts left rows
+    produce no output."""
+    import pandas as pd
+
+    from quadtree_block_compression_spark.streaming.windows import asof_join
+
+    rows = [
+        (1, 1, None, "click"),                       # invalid click
+        (2, 1, "2024-01-01 10:00:00", "click"),
+        (3, 1, "2024-01-01 10:30:00", "purchase"),
+        (4, 2, None, "purchase"),                    # invalid purchase
+        (5, 2, "2024-01-01 09:00:00", "purchase"),   # no click at all
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type"]))
+    ev = ev.withColumn("ts", ev.ts.cast("timestamp"))
+    out = {r.left_event_id: (r.asof_event_id, r.asof_ts)
+           for r in asof_join(ev, "purchase", "click").collect()}
+    assert set(out) == {3, 5}
+    assert out[3][0] == 2 and out[3][1] is not None
+    assert out[5] == (None, None)
