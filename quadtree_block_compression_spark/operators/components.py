@@ -60,7 +60,6 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     """
     if algorithm not in ("auto", "propagation", "alternating"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    spark = nodes.sparkSession
     node_ids = nodes.select(F.col(id_col).alias("x")).distinct()
     # symmetric closed edge list: x→y for every pair, both directions.
     # Edges are RESTRICTED to the node set (semi-joins on both endpoints):
