@@ -463,3 +463,26 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     ivf2 = {(r.q_id, r.vec_id) for r in
             cosine_topk_ivf(emb, q, k=5, n_clusters=8, nprobe=4, iters=2).collect()}
     assert ivf == ivf2
+
+
+def test_archive_unpack_rejects_garbage():
+    """Sniffing reader must raise cleanly on non-archive bytes and on a
+    truncated tar.gz — never hang or return partial members silently."""
+    import gzip as _gzip
+
+    import pytest
+
+    from quadtree_block_compression_spark.sources.archive import (
+        _pack_members, _unpack_members)
+
+    with pytest.raises(ValueError, match="unrecognized archive container"):
+        _unpack_members(b"not an archive at all")
+    with pytest.raises(ValueError, match="unrecognized"):
+        _unpack_members(b"")
+    good = _pack_members([("meta", b"1\n8\n8"), ("0", b"x" * 100)], "gzip")
+    truncated = good[: len(good) // 2]
+    with pytest.raises(Exception):  # gzip/tar error surface cleanly
+        _unpack_members(truncated)
+    # valid gzip wrapping a non-tar payload must also raise, not loop
+    with pytest.raises(Exception):
+        _unpack_members(_gzip.compress(b"plain text, not a tarball"))
