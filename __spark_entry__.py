@@ -156,14 +156,20 @@ _POINT_SQL = f"""
   FROM customer
 """
 
-_SHINGLE_SQL = f"""
+def _shingle_sql(src: str = "documents") -> str:
+    """Shingle CTE body over ``src`` (a table or CTE name) — parametrized so
+    the incremental-dedup oracle can shingle a corpus∪batch union."""
+    return f"""
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(range(1, greatest(len(arr) - {_NGRAM_N} + 1, 0) + 1),
                   i -> array_to_string(arr[i:i + {_NGRAM_N - 1}], ' '))) AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM documents)
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM {src})
   ) WHERE length(shingle) > 0
 """
+
+
+_SHINGLE_SQL = _shingle_sql()
 
 
 def _minhash_sql_select() -> str:
@@ -175,11 +181,15 @@ def _minhash_sql_select() -> str:
     return ", ".join(cols)
 
 
-_MINHASH_SIG_SQL = f"""
-  WITH sh AS ({_SHINGLE_SQL}),
+def _minhash_sig_sql(src: str = "documents") -> str:
+    return f"""
+  WITH sh AS ({_shingle_sql(src)}),
   hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh)
   SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id
 """
+
+
+_MINHASH_SIG_SQL = _minhash_sig_sql()
 
 # full minhash-LSH pair statement — the `minhash_lsh_pairs` oracle, and the
 # edge list the `dedup_components` recursive-CTE oracle builds on
@@ -652,6 +662,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              max_bucket=_MAX_BUCKET)
         return connected_components(docs, pairs, algorithm="alternating")
 
+    def dedup_incremental(spark, sf):
+        """Append-only ingest dedup: classify a NEW batch (docs ≥ 250 plus
+        ten re-keyed exact copies of corpus docs) against the existing
+        corpus (docs < 250) and within itself — exact hash tier, LSH near
+        tier vs corpus, within-batch near tier, with corpus×corpus
+        candidates never generated. The production per-batch operation an
+        incremental 100-TB pipeline runs instead of re-deduping the
+        world."""
+        (docs,) = _tables(spark, sf, "documents")
+        corpus = docs.where("doc_id < 250")
+        newb = (docs.where("doc_id < 10")
+                .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+                .unionByName(docs.where("doc_id >= 250")
+                             .select("doc_id", "text")))
+        return dedup_text.dedup_incremental(
+            newb, corpus, n=_NGRAM_N, num_perm=_NUM_PERM, bands=_BANDS,
+            threshold=_JACCARD_T, max_bucket=_MAX_BUCKET)
+
     def simhash_docs(spark, sf):
         (docs,) = _tables(spark, sf, "documents")
         return dedup_text.simhash64(docs)
@@ -997,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": minhash_signatures,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "dedup_components": dedup_components,
+        "dedup_incremental": dedup_incremental,
         "dedup_components_logn": dedup_components_logn,
         "corpus_sample": corpus_sample,
         "vocab_topk": vocab_topk,
@@ -1384,6 +1413,74 @@ def oracle_sql() -> dict[str, str]:
         # for the Spark min-label propagation loop
         "dedup_components": components_recursive_sql(
             "SELECT doc_id FROM documents", _minhash_pairs_sql),
+        "dedup_incremental": f"""
+            -- batch-vs-corpus dedup: corpus = doc_id < 250, batch = doc_id
+            -- >= 250 plus ten re-keyed (+10000) exact copies of corpus
+            -- docs. Same portable-hash minhash machinery as
+            -- minhash_lsh_pairs, over the corpus∪batch union; candidates
+            -- restricted to pairs whose LARGER member is a batch doc
+            -- (ids order corpus < batch, so this excludes exactly
+            -- corpus×corpus); election precedence exact > near(corpus) >
+            -- near_new(batch), sentinel -1
+            WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+            newb AS (SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10
+                     UNION ALL
+                     SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+            alldocs AS (SELECT * FROM corpus UNION ALL SELECT * FROM newb),
+            sig AS ({_minhash_sig_sql('alldocs')}),
+            bucketed0 AS (
+              SELECT DISTINCT doc_id, band, key FROM (
+                SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
+            bucketed AS (
+              SELECT b.* FROM bucketed0 b
+              JOIN (SELECT band, key FROM bucketed0
+                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
+                USING (band, key)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM bucketed a JOIN bucketed b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+              WHERE b.doc_id >= 250),
+            shv AS ({_shingle_sql('alldocs')}),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shv GROUP BY doc_id),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN shv x ON x.doc_id = c.a
+              JOIN shv y ON y.doc_id = c.b AND y.shingle = x.shingle
+              GROUP BY 1, 2),
+            near AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE i / (sa.sz + sb.sz - i) >= {_JACCARD_T}),
+            exact AS (
+              SELECT n.doc_id AS b, min(c.doc_id) AS exact_of
+              FROM newb n JOIN corpus c
+                ON {portable_hash64_sql('n.text')} = {portable_hash64_sql('c.text')}
+              GROUP BY 1),
+            near_cor AS (SELECT b, min(a) AS near_of FROM near
+                         WHERE a < 250 GROUP BY b),
+            near_new AS (SELECT b, min(a) AS nearnew_of FROM near
+                         WHERE a >= 250 GROUP BY b)
+            SELECT nb.doc_id,
+                   CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+                        WHEN nc.near_of IS NOT NULL THEN 'near'
+                        WHEN nn.nearnew_of IS NOT NULL THEN 'near_new'
+                        ELSE 'unique' END AS dup_tier,
+                   coalesce(e.exact_of, nc.near_of, nn.nearnew_of, -1) AS dup_of
+            FROM newb nb
+            LEFT JOIN exact e ON e.b = nb.doc_id
+            LEFT JOIN near_cor nc ON nc.b = nb.doc_id
+            LEFT JOIN near_new nn ON nn.b = nb.doc_id
+        """,
+
         # the large-star/small-star tier computes the IDENTICAL clusters, so
         # it grades against the same independent recursive-CTE semantics
         "dedup_components_logn": components_recursive_sql(

@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "cell_assign", "spatial_join_rects", "spatial_join_salted_rects",
     "spatial_join_triangles", "knn_points", "video_frame_stats",
     "corpus_sample", "vocab_topk", "corpus_stats",
-    "spatial_distance_join", "events_asof_join",  # added r4
+    "spatial_distance_join", "events_asof_join", "dedup_incremental",  # r4
 ]
 
 

@@ -244,3 +244,108 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 12,
             .where(F.col("hamming") <= max_hamming)
             .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "hamming")
             .distinct())
+
+
+def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
+                      n: int = 3, num_perm: int = 8, bands: int = 4,
+                      threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      max_bucket: int | None = None) -> DataFrame:
+    """Batch-vs-corpus dedup — the operation an append-only corpus
+    pipeline runs per ingest batch: classify every NEW doc against the
+    already-clean corpus AND the rest of its own batch, WITHOUT ever
+    joining corpus×corpus (per-batch cost scales with the batch and its
+    bucket overlap, not with the corpus).
+
+    Tiers, in precedence order, per new doc:
+
+    - ``exact``   — portable content hash matches a corpus doc
+      (``dup_of`` = min such corpus id);
+    - ``near``    — MinHash-LSH band collision with a corpus doc,
+      verified Jaccard ≥ ``threshold`` (``dup_of`` = min such corpus id);
+    - ``near_new`` — verified near-pair with a SMALLER-id doc of the same
+      batch (``dup_of`` = min such id) — the within-batch greedy election;
+    - ``unique``  — none of the above (``dup_of`` = -1).
+
+    Caller contract: corpus and batch id spaces are disjoint. One shingle
+    pass over the tagged union feeds signatures, sizes and both verify
+    sides (persisted via the tracked cache); the band-bucket cap applies
+    to the union's buckets, exactly like the self-join tier. Candidates
+    are ONLY corpus×new and new×new — the corpus never self-joins.
+    Returns (``id_col``, dup_tier, dup_of) for every new doc.
+    """
+    tagged = (new_docs.select(id_col, text_col).withColumn("_new", F.lit(True))
+              .unionByName(corpus.select(id_col, text_col)
+                           .withColumn("_new", F.lit(False))))
+    sides = tagged.select(id_col, "_new")
+
+    # exact tier: portable content hash, new vs corpus only
+    h_new = new_docs.select(F.col(id_col).alias("b"),
+                            portable_hash64(F.col(text_col)).alias("h"))
+    h_cor = corpus.select(F.col(id_col).alias("a"),
+                          portable_hash64(F.col(text_col)).alias("h"))
+    exact = (h_new.join(h_cor, "h")
+             .groupBy("b").agg(F.min("a").alias("exact_of")))
+
+    # near tier: shared shingle pass + banded buckets over the union
+    rows_per_band = num_perm // bands
+    sh = persist_tracked(word_shingles(tagged, n, text_col, id_col))
+    sig = minhash_signatures(tagged, n, num_perm, text_col, id_col,
+                             shingles=sh)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [F.col(f"mh{bnd * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(bnd).alias("band"),
+            portable_hash64(F.concat_ws("_", *parts)).alias("key")))
+    bucketed = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+                .select(id_col, F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
+    if max_bucket is not None:
+        bucketed = _cap_by_key(bucketed, ["band", "key"], max_bucket)
+    bucketed = persist_tracked(bucketed.join(sides, id_col))
+    new_b = (bucketed.where("_new")
+             .select(F.col(id_col).alias("b"), "band", "key"))
+    cor_b = (bucketed.where("NOT _new")
+             .select(F.col(id_col).alias("a"), "band", "key"))
+    # corpus×new plus within-batch (a < b); NEVER corpus×corpus
+    cand = (cor_b.join(new_b, ["band", "key"]).select("a", "b")
+            .unionByName(
+                new_b.select(F.col("b").alias("a"), "band", "key")
+                .join(new_b, ["band", "key"])
+                .where(F.col("a") < F.col("b")).select("a", "b"))
+            .distinct())
+
+    # exact-Jaccard verify on candidates only (same as the self-join tier)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (cand.join(sa, "a").join(sb, ["b", "shingle"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    near = (inter
+            .join(sizes.select(F.col(id_col).alias("a"),
+                               F.col("sz").alias("sza")), "a")
+            .join(sizes.select(F.col(id_col).alias("b"),
+                               F.col("sz").alias("szb")), "b")
+            .where(F.col("inter")
+                   / (F.col("sza") + F.col("szb") - F.col("inter"))
+                   >= threshold))
+    near_sided = near.join(sides.select(F.col(id_col).alias("a"), "_new"), "a")
+    near_cor = (near_sided.where("NOT _new")
+                .groupBy("b").agg(F.min("a").alias("near_of")))
+    near_new = (near_sided.where("_new")
+                .groupBy("b").agg(F.min("a").alias("nearnew_of")))
+
+    return (new_docs.select(F.col(id_col).alias("b"))
+            .join(exact, "b", "left")
+            .join(near_cor, "b", "left")
+            .join(near_new, "b", "left")
+            .select(
+                F.col("b").alias(id_col),
+                F.when(F.col("exact_of").isNotNull(), F.lit("exact"))
+                .when(F.col("near_of").isNotNull(), F.lit("near"))
+                .when(F.col("nearnew_of").isNotNull(), F.lit("near_new"))
+                .otherwise(F.lit("unique")).alias("dup_tier"),
+                F.coalesce("exact_of", "near_of", "nearnew_of", F.lit(-1))
+                .alias("dup_of")))

@@ -486,3 +486,33 @@ def test_archive_unpack_rejects_garbage():
     # valid gzip wrapping a non-tar payload must also raise, not loop
     with pytest.raises(Exception):
         _unpack_members(_gzip.compress(b"plain text, not a tarball"))
+
+
+def test_dedup_incremental_tiers(spark):
+    """Batch-vs-corpus dedup: exact tier (hash match), near tier
+    (LSH + Jaccard vs corpus), within-batch near tier (smaller-id
+    election), unique — with corpus ids never classified and
+    corpus x corpus candidates never generated."""
+    from quadtree_block_compression_spark.operators.dedup_text import (
+        dedup_incremental)
+
+    corpus = spark.createDataFrame([
+        (0, "the cat sat on the mat and looked at the dog today"),
+        (1, "a completely different document about trains and planes"),
+    ], "doc_id long, text string")
+    batch = spark.createDataFrame([
+        (100, "the cat sat on the mat and looked at the dog today"),    # exact of 0
+        (101, "the cat sat on the mat and looked at the dog however"),  # near of 0
+        (102, "fresh new content about rivers and gardens in the city"),
+        (103, "fresh new content about rivers and gardens in the town"),  # near_new of 102
+        (104, "zzz qqq www eee rrr ttt yyy uuu"),                         # unique
+    ], "doc_id long, text string")
+    out = {r.doc_id: (r.dup_tier, r.dup_of)
+           for r in dedup_incremental(batch, corpus, n=3, num_perm=8,
+                                      bands=4, threshold=0.4).collect()}
+    assert out[100] == ("exact", 0)
+    assert out[101] == ("near", 0)
+    assert out[103] == ("near_new", 102)
+    assert out[102][0] in ("unique",)  # 103 is LARGER — never dups forward
+    assert out[104] == ("unique", -1)
+    assert set(out) == {100, 101, 102, 103, 104}  # corpus rows absent
