@@ -349,3 +349,148 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
                 .otherwise(F.lit("unique")).alias("dup_tier"),
                 F.coalesce("exact_of", "near_of", "nearnew_of", F.lit(-1))
                 .alias("dup_of")))
+
+
+def dedup_index_write(corpus: DataFrame, path: str,
+                      n: int = 3, num_perm: int = 8, bands: int = 4,
+                      text_col: str = "text", id_col: str = "doc_id") -> None:
+    """Materialize the corpus side of :func:`dedup_incremental` as an
+    index at rest — the truly incremental form: the corpus is scanned
+    ONCE when the index is (re)built, and each ingest batch reads only
+    the precomputed tables instead of re-shingling 100 TB per batch
+    (same pattern as ``ann.ivf_write_index``).
+
+    Layout under ``path``: ``buckets`` (doc_id, band, key — the banded
+    MinHash keys), ``shingles`` (doc_id, shingle — verify side),
+    ``sizes`` (doc_id, sz), ``hashes`` (doc_id, h — exact tier), and
+    ``meta.json`` pinning (n, num_perm, bands) so a mismatched probe
+    fails fast instead of silently bucketing differently."""
+    import json
+    import os
+
+    rows_per_band = num_perm // bands
+    sh = persist_tracked(word_shingles(corpus, n, text_col, id_col))
+    sig = minhash_signatures(corpus, n, num_perm, text_col, id_col,
+                             shingles=sh)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [F.col(f"mh{bnd * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(bnd).alias("band"),
+            portable_hash64(F.concat_ws("_", *parts)).alias("key")))
+    bucketed = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+                .select(id_col, F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
+    bucketed.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    (sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+     .write.mode("overwrite").parquet(os.path.join(path, "sizes")))
+    (corpus.select(id_col, portable_hash64(F.col(text_col)).alias("h"))
+     .write.mode("overwrite").parquet(os.path.join(path, "hashes")))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"n": n, "num_perm": num_perm, "bands": bands}, f)
+
+
+def dedup_incremental_indexed(spark, path: str, new_docs: DataFrame,
+                              n: int = 3, num_perm: int = 8, bands: int = 4,
+                              threshold: float = 0.5,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              max_bucket: int | None = None) -> DataFrame:
+    """:func:`dedup_incremental` probing a :func:`dedup_index_write` index
+    instead of re-deriving the corpus side — per-batch cost is the batch's
+    own shingle pass plus bucket-pruned joins against the index tables.
+
+    Same output contract and tie rules as the DataFrame form (pytest pins
+    equality). The ``max_bucket`` cap is applied over index∪batch bucket
+    occupancy, matching the union semantics of the direct form."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if (meta["n"], meta["num_perm"], meta["bands"]) != (n, num_perm, bands):
+        raise ValueError(
+            f"index at {path} was built with {meta}, probed with "
+            f"n={n}, num_perm={num_perm}, bands={bands} — rebuild or match")
+
+    cor_buckets = spark.read.parquet(os.path.join(path, "buckets"))
+    cor_shingles = spark.read.parquet(os.path.join(path, "shingles"))
+    cor_sizes = spark.read.parquet(os.path.join(path, "sizes"))
+    cor_hashes = spark.read.parquet(os.path.join(path, "hashes"))
+
+    # exact tier: batch hash vs index hashes
+    h_new = new_docs.select(F.col(id_col).alias("b"),
+                            portable_hash64(F.col(text_col)).alias("h"))
+    exact = (h_new.join(cor_hashes.select(F.col(id_col).alias("a"), "h"), "h")
+             .groupBy("b").agg(F.min("a").alias("exact_of")))
+
+    # batch-side shingles/signature/buckets (the ONLY text scanned)
+    rows_per_band = num_perm // bands
+    sh_new = persist_tracked(word_shingles(new_docs, n, text_col, id_col))
+    sig = minhash_signatures(new_docs, n, num_perm, text_col, id_col,
+                             shingles=sh_new)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [F.col(f"mh{bnd * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(bnd).alias("band"),
+            portable_hash64(F.concat_ws("_", *parts)).alias("key")))
+    new_buckets = (sig.select(id_col,
+                              F.explode(F.array(*band_cols)).alias("bk"))
+                   .select(id_col, F.col("bk.band").alias("band"),
+                           F.col("bk.key").alias("key")))
+    union_buckets = (cor_buckets.withColumn("_new", F.lit(False))
+                     .unionByName(new_buckets.withColumn("_new", F.lit(True))))
+    if max_bucket is not None:
+        union_buckets = _cap_by_key(union_buckets, ["band", "key"], max_bucket)
+    union_buckets = persist_tracked(union_buckets)
+    new_b = (union_buckets.where("_new")
+             .select(F.col(id_col).alias("b"), "band", "key"))
+    cor_b = (union_buckets.where("NOT _new")
+             .select(F.col(id_col).alias("a"), "band", "key"))
+    cand = (cor_b.join(new_b, ["band", "key"]).select("a", "b")
+            .unionByName(
+                new_b.select(F.col("b").alias("a"), "band", "key")
+                .join(new_b, ["band", "key"])
+                .where(F.col("a") < F.col("b")).select("a", "b"))
+            .distinct())
+
+    # verify: batch shingles vs (index shingles ∪ batch shingles)
+    all_sh = cor_shingles.unionByName(sh_new)
+    sizes = (cor_sizes.unionByName(
+        sh_new.groupBy(id_col).agg(F.count("*").alias("sz"))))
+    sa = all_sh.select(F.col(id_col).alias("a"), "shingle")
+    sb = sh_new.select(F.col(id_col).alias("b"), "shingle")
+    inter = (cand.join(sa, "a").join(sb, ["b", "shingle"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    near = (inter
+            .join(sizes.select(F.col(id_col).alias("a"),
+                               F.col("sz").alias("sza")), "a")
+            .join(sizes.select(F.col(id_col).alias("b"),
+                               F.col("sz").alias("szb")), "b")
+            .where(F.col("inter")
+                   / (F.col("sza") + F.col("szb") - F.col("inter"))
+                   >= threshold))
+    # side of partner a: corpus iff its id is in the index's sizes table
+    near_sided = near.join(
+        cor_sizes.select(F.col(id_col).alias("a"))
+        .withColumn("_cor", F.lit(True)), "a", "left")
+    near_cor = (near_sided.where(F.col("_cor").isNotNull())
+                .groupBy("b").agg(F.min("a").alias("near_of")))
+    near_new = (near_sided.where(F.col("_cor").isNull())
+                .groupBy("b").agg(F.min("a").alias("nearnew_of")))
+
+    return (new_docs.select(F.col(id_col).alias("b"))
+            .join(exact, "b", "left")
+            .join(near_cor, "b", "left")
+            .join(near_new, "b", "left")
+            .select(
+                F.col("b").alias(id_col),
+                F.when(F.col("exact_of").isNotNull(), F.lit("exact"))
+                .when(F.col("near_of").isNotNull(), F.lit("near"))
+                .when(F.col("nearnew_of").isNotNull(), F.lit("near_new"))
+                .otherwise(F.lit("unique")).alias("dup_tier"),
+                F.coalesce("exact_of", "near_of", "nearnew_of", F.lit(-1))
+                .alias("dup_of")))

@@ -516,3 +516,33 @@ def test_dedup_incremental_tiers(spark):
     assert out[102][0] in ("unique",)  # 103 is LARGER — never dups forward
     assert out[104] == ("unique", -1)
     assert set(out) == {100, 101, 102, 103, 104}  # corpus rows absent
+
+
+def test_dedup_incremental_indexed_equals_direct(spark, tmp_path):
+    """Index-at-rest probing (corpus scanned ONCE at index build) must
+    produce the IDENTICAL classification as the direct DataFrame form,
+    and a parameter-mismatched probe must fail fast."""
+    import pytest
+
+    from quadtree_block_compression_spark.operators.dedup_text import (
+        dedup_incremental, dedup_index_write, dedup_incremental_indexed)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id < 30").select("doc_id", "text")
+    batch = (docs.where("doc_id < 3")
+             .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+             .unionByName(docs.where("doc_id >= 30")
+                          .select("doc_id", "text")))
+    direct = {r.doc_id: (r.dup_tier, r.dup_of) for r in
+              dedup_incremental(batch, corpus, n=3, num_perm=8, bands=4,
+                                threshold=0.5, max_bucket=100).collect()}
+    idx = str(tmp_path / "dedup_index")
+    dedup_index_write(corpus, idx, n=3, num_perm=8, bands=4)
+    indexed = {r.doc_id: (r.dup_tier, r.dup_of) for r in
+               dedup_incremental_indexed(spark, idx, batch, n=3, num_perm=8,
+                                         bands=4, threshold=0.5,
+                                         max_bucket=100).collect()}
+    assert indexed == direct
+    assert sum(1 for t, _ in indexed.values() if t == "exact") == 3
+    with pytest.raises(ValueError, match="rebuild or match"):
+        dedup_incremental_indexed(spark, idx, batch, n=4)
