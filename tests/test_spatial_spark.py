@@ -230,3 +230,30 @@ def test_asof_join_null_ts_rows_excluded(spark):
     assert set(out) == {3, 5}
     assert out[3][0] == 2 and out[3][1] is not None
     assert out[5] == (None, None)
+
+
+def test_distance_join_random_points_vs_bruteforce(spark):
+    """Property check: grid-bucketed radius join equals the O(n²) brute
+    force on seeded random points at several radii (border-straddling
+    pairs included by construction)."""
+    import pandas as pd
+
+    from quadtree_block_compression_spark.operators.spatial_join import (
+        distance_join)
+
+    rng = np.random.default_rng(11)
+    n = 300
+    pts = pd.DataFrame({
+        "point_id": range(n),
+        "wx": rng.uniform(0, 1000, n).round(3),
+        "wy": rng.uniform(0, 1000, n).round(3)})
+    df = spark.createDataFrame(pts)
+    xs, ys = pts["wx"].to_numpy(), pts["wy"].to_numpy()
+    d2m = ((xs[:, None] - xs[None, :]) ** 2
+           + (ys[:, None] - ys[None, :]) ** 2)
+    for radius in (25.0, 80.0):
+        got = {(r.point_a, r.point_b) for r in
+               distance_join(df, radius=radius).collect()}
+        want = {(a, b) for a in range(n) for b in range(a + 1, n)
+                if d2m[a, b] <= radius * radius}
+        assert got == want, radius
