@@ -632,6 +632,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (docs,) = _tables(spark, sf, "documents")
         return sampling.corpus_stats(docs)
 
+    def corpus_weighted_sample(spark, sf):
+        """Weight-proportional deterministic sampling: keep each doc with
+        probability quality·0.5 (capped at 1) — the data-mixing primitive
+        that upsamples high-quality text. One scan, zero joins, a pushable
+        integer hash predicate; the weight is the rounded quality score
+        both engines already hash-agree on (corpus_clean)."""
+        from quadtree_block_compression_spark.operators.text_analysis import (
+            _quality_score_expr)
+        (docs,) = _tables(spark, sf, "documents")
+        q = docs.select("doc_id",
+                        F.round(_quality_score_expr("text"), 6).alias("quality"))
+        out = sampling.weighted_hash_sample(q, "quality", base_rate=0.5,
+                                            salt="wq", max_weight=2.0)
+        return out.select("doc_id", "quality")
+
+    def events_funnel(spark, sf):
+        """Click→purchase conversion funnel composed from the as-of join:
+        per purchase hour, how many purchases had a click by the same user
+        within the preceding 30 minutes. Same zero-join as-of plan plus
+        one aggregate."""
+        from quadtree_block_compression_spark.streaming.windows import asof_join
+        (events,) = _tables(spark, sf, "events")
+        a = asof_join(events, left_type="purchase", right_type="click")
+        conv = (F.col("asof_ts").isNotNull()
+                & ((F.unix_timestamp("left_ts")
+                    - F.unix_timestamp("asof_ts")) <= 1800))
+        return (a.groupBy(F.date_format(F.date_trunc("hour", "left_ts"),
+                                        "yyyy-MM-dd HH:mm:ss")
+                          .alias("win_start"))
+                .agg(F.count(F.lit(1)).alias("n_purchases"),
+                     F.sum(conv.cast("long")).cast("long").alias("n_converted"))
+                .withColumn("conv_rate",
+                            F.round(F.col("n_converted")
+                                    / F.col("n_purchases"), 6)))
+
     def dedup_components(spark, sf):
         """Duplicate CLUSTERS from the MinHash-LSH pair edges: connected
         components via min-label propagation (components.py), singletons
@@ -1026,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "dedup_components": dedup_components,
         "dedup_incremental": dedup_incremental,
+        "corpus_weighted_sample": corpus_weighted_sample,
+        "events_funnel": events_funnel,
         "dedup_components_logn": dedup_components_logn,
         "corpus_sample": corpus_sample,
         "vocab_topk": vocab_topk,
@@ -1168,6 +1205,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
                      AS sum_value_micros
             FROM events GROUP BY 1, 2
+        """,
+        "corpus_weighted_sample": f"""
+            -- weight-proportional hash sampling: the SAME quality CASE
+            -- product as the corpus_clean oracle, rounded to 6 on both
+            -- engines BEFORE the threshold, so the floor() sees identical
+            -- doubles; threshold = min(quality*0.5*1e6, 1e6)
+            WITH q AS (
+              SELECT doc_id, round(
+                CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.3 END
+                * CASE WHEN length(regexp_replace(text, '[^\\.,;:!\\?''\"]', '', 'g'))
+                            / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END
+                * CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        w -> list_contains(['the','a','and','of','to','in','is','that','for','it'], w)))
+                        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+                                   1) >= 0.05
+                       THEN 1.0 ELSE 0.6 END, 6) AS quality
+              FROM documents)
+            SELECT doc_id, quality FROM q
+            WHERE {portable_hash64_sql("'wq:' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  < least(CAST(floor(quality * 0.5 * 1000000.0) AS BIGINT), 1000000)
+        """,
+        "events_funnel": """
+            -- click->purchase conversion within 30 min, via DuckDB's
+            -- native ASOF JOIN (right side pre-deduped per (user, ts))
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
+                  WHERE event_type = 'click' GROUP BY user_id, ts),
+            a AS (SELECT l.user_id, l.ts AS lts, r.ts AS rts
+                  FROM l ASOF LEFT JOIN r
+                    ON l.user_id = r.user_id AND l.ts >= r.ts),
+            g AS (SELECT strftime(date_trunc('hour', lts), '%Y-%m-%d %H:%M:%S') AS win_start,
+                         count(*) AS n_purchases,
+                         CAST(sum(CASE WHEN rts IS NOT NULL
+                                        AND epoch(lts) - epoch(rts) <= 1800
+                                       THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+                  FROM a GROUP BY 1)
+            SELECT win_start, n_purchases, n_converted,
+                   round(n_converted / n_purchases, 6) AS conv_rate
+            FROM g
         """,
         "events_asof_join": """
             -- independent semantics: DuckDB's NATIVE ASOF JOIN vs the

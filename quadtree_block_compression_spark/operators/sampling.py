@@ -126,3 +126,28 @@ def vocab_topk(docs: DataFrame, k: int = 500, text_col: str = "text",
             .select("token", "n",
                     (F.monotonically_increasing_id() + 1)
                     .cast("int").alias("rank")))
+
+
+def weighted_hash_sample(df: DataFrame, weight_col: str, base_rate: float,
+                         key_col: str = "doc_id", salt: str = "w0",
+                         max_weight: float = 2.0) -> DataFrame:
+    """Weight-proportional deterministic sampling — the data-mixing
+    primitive (keep high-quality docs at a higher rate): row kept with
+    probability ``min(base_rate · weight, base_rate · max_weight, 1)``.
+
+    Same portable-hash predicate as :func:`hash_sample` with a per-row
+    integer threshold ``weight · base_rate · 1e6`` — reproducible across
+    engines/reruns, stable under repartitioning, pushdown-friendly, zero
+    joins, and composable with the stratified sampler. An exp/pow-keyed
+    reservoir (A-ES) would give fixed-k but its float ``pow`` ordering is
+    libm-dependent and cannot be replicated bit-exactly in a SQL oracle;
+    rate-proportional inclusion is also what production mixing recipes
+    actually specify.
+    """
+    h = F.pmod(portable_hash64(F.concat(F.lit(salt + ":"),
+                                        F.col(key_col).cast("string"))),
+               F.lit(_MOD))
+    thresh = F.least(
+        F.floor(F.col(weight_col) * F.lit(float(base_rate)) * _MOD),
+        F.lit(int(min(base_rate * max_weight, 1.0) * _MOD)))
+    return df.where(h < thresh)

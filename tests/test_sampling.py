@@ -108,3 +108,27 @@ def test_corpus_stats_skewed_stratum_sorts_histogram_not_rows(spark):
     import re
     m = re.search(r"HashAggregate\(keys=\[source[^\]]*n_chars[^\]]*\]", below)
     assert m is not None, below[:800]
+
+
+def test_weighted_hash_sample_caps_and_proportionality(spark):
+    from quadtree_block_compression_spark.operators.sampling import (
+        weighted_hash_sample)
+    n = 4000
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n),
+        # half the corpus at weight 0.2, half at weight 1.0
+        "wgt": [0.2 if i % 2 == 0 else 1.0 for i in range(n)]}))
+    out = weighted_hash_sample(docs, "wgt", base_rate=0.5, salt="t").toPandas()
+    lo = (out["wgt"] < 0.5).sum()
+    hi = (out["wgt"] > 0.5).sum()
+    # expected: 10% of evens (200), 50% of odds (1000) — hash-uniform ±20%
+    assert 140 <= lo <= 260 and 850 <= hi <= 1150
+    # deterministic: identical selection on rerun
+    out2 = weighted_hash_sample(docs, "wgt", base_rate=0.5, salt="t").toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # cap: weight far above max_weight cannot exceed the capped rate
+    heavy = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n), "wgt": [50.0] * n}))
+    kept = weighted_hash_sample(heavy, "wgt", base_rate=0.4,
+                                max_weight=2.0).count()
+    assert kept <= n * 0.8 * 1.15  # capped at base_rate*max_weight = 0.8
