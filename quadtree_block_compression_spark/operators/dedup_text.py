@@ -382,21 +382,70 @@ def dedup_index_write(corpus: DataFrame, path: str,
     bucketed = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
                 .select(id_col, F.col("bk.band").alias("band"),
                         F.col("bk.key").alias("key")))
-    bucketed.write.mode("overwrite").parquet(os.path.join(path, "buckets"))
-    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
-    (sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-     .write.mode("overwrite").parquet(os.path.join(path, "sizes")))
-    (corpus.select(id_col, portable_hash64(F.col(text_col)).alias("h"))
-     .write.mode("overwrite").parquet(os.path.join(path, "hashes")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    hashes = corpus.select(id_col, portable_hash64(F.col(text_col)).alias("h"))
+    # every table is partitioned by _batch_id (base build = -1): streaming
+    # ingest appends each micro-batch as its OWN partition with dynamic
+    # overwrite, so a replayed batch replaces itself (exactly-once), and
+    # the probe can exclude an in-flight batch id (a replay must not see
+    # its failed attempt's rows as "corpus")
+    for name, df in (("buckets", bucketed), ("shingles", sh),
+                     ("sizes", sizes), ("hashes", hashes)):
+        (df.withColumn("_batch_id", F.lit(-1))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .parquet(os.path.join(path, name)))
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"n": n, "num_perm": num_perm, "bands": bands}, f)
+
+
+def dedup_index_append(accepted: DataFrame, path: str, batch_id: int,
+                       n: int = 3, num_perm: int = 8, bands: int = 4,
+                       text_col: str = "text", id_col: str = "doc_id") -> None:
+    """Grow a :func:`dedup_index_write` index with a micro-batch's ACCEPTED
+    (unique) docs — written as the batch's own ``_batch_id`` partition via
+    dynamic overwrite, so a Structured-Streaming replay of the same batch
+    id replaces rather than duplicates (the exactly-once half the
+    checkpoint cannot provide)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if (meta["n"], meta["num_perm"], meta["bands"]) != (n, num_perm, bands):
+        raise ValueError(
+            f"index at {path} was built with {meta}, appended with "
+            f"n={n}, num_perm={num_perm}, bands={bands} — rebuild or match")
+    rows_per_band = num_perm // bands
+    sh = persist_tracked(word_shingles(accepted, n, text_col, id_col))
+    sig = minhash_signatures(accepted, n, num_perm, text_col, id_col,
+                             shingles=sh)
+    band_cols = []
+    for bnd in range(bands):
+        parts = [F.col(f"mh{bnd * rows_per_band + r}")
+                 for r in range(rows_per_band)]
+        band_cols.append(F.struct(
+            F.lit(bnd).alias("band"),
+            portable_hash64(F.concat_ws("_", *parts)).alias("key")))
+    bucketed = (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+                .select(id_col, F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    hashes = accepted.select(id_col,
+                             portable_hash64(F.col(text_col)).alias("h"))
+    for name, df in (("buckets", bucketed), ("shingles", sh),
+                     ("sizes", sizes), ("hashes", hashes)):
+        (df.withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(os.path.join(path, name)))
 
 
 def dedup_incremental_indexed(spark, path: str, new_docs: DataFrame,
                               n: int = 3, num_perm: int = 8, bands: int = 4,
                               threshold: float = 0.5,
                               text_col: str = "text", id_col: str = "doc_id",
-                              max_bucket: int | None = None) -> DataFrame:
+                              max_bucket: int | None = None,
+                              exclude_batch_id: int | None = None) -> DataFrame:
     """:func:`dedup_incremental` probing a :func:`dedup_index_write` index
     instead of re-deriving the corpus side — per-batch cost is the batch's
     own shingle pass plus bucket-pruned joins against the index tables.
@@ -414,10 +463,19 @@ def dedup_incremental_indexed(spark, path: str, new_docs: DataFrame,
             f"index at {path} was built with {meta}, probed with "
             f"n={n}, num_perm={num_perm}, bands={bands} — rebuild or match")
 
-    cor_buckets = spark.read.parquet(os.path.join(path, "buckets"))
-    cor_shingles = spark.read.parquet(os.path.join(path, "shingles"))
-    cor_sizes = spark.read.parquet(os.path.join(path, "sizes"))
-    cor_hashes = spark.read.parquet(os.path.join(path, "hashes"))
+    def _read(name):
+        df = spark.read.parquet(os.path.join(path, name))
+        if exclude_batch_id is not None:
+            # a replayed streaming batch must not treat its own failed
+            # attempt's partition as corpus (it would classify every doc
+            # as an exact dup of itself)
+            df = df.where(F.col("_batch_id") != int(exclude_batch_id))
+        return df.drop("_batch_id")
+
+    cor_buckets = _read("buckets")
+    cor_shingles = _read("shingles")
+    cor_sizes = _read("sizes")
+    cor_hashes = _read("hashes")
 
     # exact tier: batch hash vs index hashes
     h_new = new_docs.select(F.col(id_col).alias("b"),

@@ -56,3 +56,53 @@ def start_image_ingest(stream_images: DataFrame, blocks_path: str,
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True)
             .start())
+
+
+def make_dedup_batch_processor(index_path: str, out_path: str,
+                               n: int = 3, num_perm: int = 8, bands: int = 4,
+                               threshold: float = 0.5,
+                               max_bucket: int | None = None):
+    """``foreachBatch`` body for streaming NEAR-dedup ingest against a
+    :func:`~..operators.dedup_text.dedup_index_write` index at rest — the
+    live form of incremental corpus cleaning (the stateful
+    ``dedup_stream`` tier handles exact-only dedup; this one catches
+    near-duplicates against the WHOLE historical corpus via the index).
+
+    Per micro-batch: classify every doc (exact / near / near_new /
+    unique), write the annotated batch to ``out_path`` as its own
+    ``_batch_id`` partition (dynamic overwrite → replay replaces itself),
+    then grow the index with the batch's unique docs the same way. The
+    probe excludes the current batch id, so a replayed batch never sees
+    its failed attempt's index partition as corpus — checkpoint +
+    idempotent sink + idempotent index = exactly-once end to end."""
+    from ..operators.dedup_text import (dedup_incremental_indexed,
+                                        dedup_index_append)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        res = dedup_incremental_indexed(
+            spark, index_path, batch_df, n=n, num_perm=num_perm,
+            bands=bands, threshold=threshold, max_bucket=max_bucket,
+            exclude_batch_id=batch_id)
+        annotated = batch_df.join(res, "doc_id")
+        (annotated.withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id").parquet(out_path))
+        accepted = (annotated.where(F.col("dup_tier") == "unique")
+                    .select("doc_id", "text"))
+        dedup_index_append(accepted, index_path, batch_id,
+                           n=n, num_perm=num_perm, bands=bands)
+
+    return process_batch
+
+
+def start_dedup_ingest(stream_docs: DataFrame, index_path: str,
+                       out_path: str, checkpoint_path: str, **kw):
+    """Start the streaming near-dedup ingest query (docs-table schema).
+    Returns the StreamingQuery (caller stops it)."""
+    return (stream_docs.writeStream
+            .foreachBatch(make_dedup_batch_processor(index_path, out_path, **kw))
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start())

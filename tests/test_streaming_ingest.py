@@ -62,3 +62,64 @@ def test_ingest_batch_replay_is_idempotent(spark, tiny_images, tmp_path):
     lin = spark.read.parquet(lineage)
     assert lin.filter(F.col("stage") == "ingest_batch_0") \
               .filter(F.col("partition_id") == -1).count() == 1
+
+
+def test_streaming_near_dedup_ingest_grows_index_and_replays_idempotently(
+        spark, tmp_path):
+    """Streaming near-dedup against the index at rest: batch 2 must see
+    batch 1's accepted docs as corpus (exact AND near tiers), and
+    replaying batch 1 after the fact must leave output and index
+    byte-identical (exactly-once: dynamic partition overwrite + probe
+    excluding the in-flight batch id)."""
+    from pyspark.sql import functions as F
+
+    from quadtree_block_compression_spark.operators.dedup_text import (
+        dedup_index_write)
+    from quadtree_block_compression_spark.streaming.ingest import (
+        make_dedup_batch_processor)
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    corpus = spark.createDataFrame([
+        (0, "the cat sat on the mat and looked at the dog today"),
+        (1, "a completely different document about trains and planes"),
+    ], "doc_id long, text string")
+    dedup_index_write(corpus, idx, n=3, num_perm=8, bands=4)
+    proc = make_dedup_batch_processor(idx, out, n=3, num_perm=8, bands=4,
+                                      threshold=0.4)
+
+    b1 = spark.createDataFrame([
+        (100, "fresh new content about rivers and gardens in the city"),
+        (101, "the cat sat on the mat and looked at the dog today"),  # exact of 0
+    ], "doc_id long, text string")
+    proc(b1, 1)
+    got1 = {r.doc_id: r.dup_tier
+            for r in spark.read.parquet(out).where("_batch_id = 1").collect()}
+    assert got1 == {100: "unique", 101: "exact"}
+
+    b2 = spark.createDataFrame([
+        (200, "fresh new content about rivers and gardens in the city"),   # exact of ACCEPTED 100
+        (201, "fresh new content about rivers and gardens in the town"),   # near of ACCEPTED 100
+        (202, "entirely novel text with nothing shared anywhere at all"),
+    ], "doc_id long, text string")
+    proc(b2, 2)
+    got2 = {r.doc_id: (r.dup_tier, r.dup_of)
+            for r in spark.read.parquet(out).where("_batch_id = 2").collect()}
+    assert got2[200] == ("exact", 100)   # the grown index caught it
+    assert got2[201] == ("near", 100)
+    assert got2[202][0] == "unique"
+
+    # replay batch 1 (simulated foreachBatch retry): nothing changes
+    proc(b1, 1)
+    replay1 = {r.doc_id: r.dup_tier
+               for r in spark.read.parquet(out).where("_batch_id = 1").collect()}
+    assert replay1 == got1
+    # index holds each accepted doc exactly once per table
+    hashes = spark.read.parquet(str(tmp_path / "idx" / "hashes"))
+    assert hashes.groupBy("doc_id").count().where("count > 1").count() == 0
+    assert {r.doc_id for r in hashes.collect()} == {0, 1, 100, 202}
+    # and batch 2 classifications still hold against the replayed index
+    proc(b2, 2)
+    got2b = {r.doc_id: (r.dup_tier, r.dup_of)
+             for r in spark.read.parquet(out).where("_batch_id = 2").collect()}
+    assert got2b == got2
