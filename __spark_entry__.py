@@ -991,6 +991,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("mean_g", 6).alias("mean_g"),
                           F.round("mean_b", 6).alias("mean_b"))
 
+    def tile_pyramid_rollup(spark, sf):
+        """Tile-pyramid rollup over the LIVE kernel output: every leaf
+        block aggregated into all of its quadtree ancestors (count, OOB
+        count, bit_xor content digest, subtree bbox) — the map-tile
+        serving structure as one relational rollup. Oracle replays the
+        identical arithmetic over the frozen golden blocks table."""
+        images = _fixture_images(spark, 16)
+        return tiling.tile_pyramid(tiling.assign_tiles(images))
+
     def block_size_extremes(spark, sf):
         from quadtree_block_compression_spark.operators.calibration import (
             block_size_extremes as extremes)
@@ -1089,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolator_matrix": interpolator_matrix,
         "archive_roundtrip": archive_roundtrip,
         "block_size_extremes": block_size_extremes,
+        "tile_pyramid_rollup": tile_pyramid_rollup,
         "image_near_dup_phash": image_near_dup_phash,
         "audio_features": audio_features,
         "video_frame_stats": video_frame_stats,
@@ -1865,6 +1875,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.image_id, m.w, m.h, m.tree_height,
                    a.n_blocks, a.n_symlinks
             FROM meta m JOIN agg a USING (image_id)
+        """,
+        "tile_pyramid_rollup": f"""
+            -- pyramid rollup replayed over the frozen golden blocks:
+            -- unnest each leaf's ancestor levels 0..level, prefix by
+            -- substring, aggregate per (image, level, prefix); bit_xor
+            -- digest matches Spark's (sum would overflow under ANSI)
+            WITH leaves AS (
+              SELECT image_id, tile_id, level, x0, y0, x1, y1, oob, block_hash
+              FROM read_parquet('{_BLOCKS_GOLDEN}') WHERE is_leaf),
+            anc AS (
+              SELECT image_id,
+                     CAST(a AS INT) AS anc_level,
+                     tile_id[1:CAST(a AS INT)] AS anc,
+                     x0, y0, x1, y1, oob, block_hash
+              FROM leaves, unnest(generate_series(0, level)) AS t(a))
+            SELECT image_id, anc_level, anc,
+                   count(*) AS n_leaves,
+                   CAST(sum(CAST(oob AS BIGINT)) AS BIGINT) AS n_oob,
+                   bit_xor(block_hash) AS content_digest,
+                   min(x0) AS bx0, min(y0) AS by0,
+                   max(x1) AS bx1, max(y1) AS by1
+            FROM anc GROUP BY 1, 2, 3
         """,
         "block_size_extremes": f"""
             WITH s AS (

@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "spatial_join_triangles", "knn_points", "video_frame_stats",
     "corpus_sample", "vocab_topk", "corpus_stats",
     "spatial_distance_join", "events_asof_join", "dedup_incremental",  # r4
-    "corpus_weighted_sample", "events_funnel",  # r4
+    "corpus_weighted_sample", "events_funnel", "tile_pyramid_rollup",  # r4
 ]
 
 

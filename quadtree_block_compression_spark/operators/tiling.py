@@ -126,3 +126,34 @@ def write_blocks(blocks: DataFrame, path: str, partitions: int = 32) -> None:
     (blocks.repartition(partitions, "image_id")
      .sortWithinPartitions("image_id", "morton")
      .write.mode("overwrite").parquet(path))
+
+
+def tile_pyramid(blocks):
+    """Tile-pyramid rollup — the map-tile serving structure: every leaf
+    block contributes to ALL of its quadtree ancestors (its tile_id
+    prefixes, root included), and each pyramid tile aggregates its
+    subtree: leaf count, out-of-bounds count, an order-insensitive
+    content digest (bit_xor of the block hashes — sums overflow under
+    ANSI), and the subtree bounding box.
+
+    One explode (level+1 ancestor rows per leaf — bounded by tree height,
+    ≤ log₄(max_side²)) + one map-side-combinable aggregate on the
+    (image, ancestor) key; entirely JVM-side. At serving time the rollup
+    is what lets a viewer fetch any zoom level as ONE row instead of
+    scanning the subtree — the reference's per-image tree walk
+    (``quadtreeImage.go:77-148``) generalized to a corpus-wide relation.
+    Returns (image_id, anc_level, anc, n_leaves, n_oob, content_digest,
+    bx0, by0, bx1, by1).
+    """
+    leaves = blocks.filter(F.col("is_leaf"))
+    exploded = leaves.select(
+        "image_id", "tile_id", "x0", "y0", "x1", "y1", "oob", "block_hash",
+        F.explode(F.sequence(F.lit(0), F.col("level"))).alias("anc_level"))
+    anc = exploded.withColumn(
+        "anc", F.expr("substring(tile_id, 1, anc_level)"))
+    return (anc.groupBy("image_id", "anc_level", "anc")
+            .agg(F.count(F.lit(1)).alias("n_leaves"),
+                 F.sum(F.col("oob").cast("long")).cast("long").alias("n_oob"),
+                 F.bit_xor("block_hash").alias("content_digest"),
+                 F.min("x0").alias("bx0"), F.min("y0").alias("by0"),
+                 F.max("x1").alias("bx1"), F.max("y1").alias("by1")))

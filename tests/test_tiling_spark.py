@@ -139,3 +139,39 @@ def test_assign_tiles_on_error_policy(spark, tiny_images):
     assert all(e for e in errs.values())
     with pytest.raises(ValueError):
         assign_tiles(mixed, on_error="quarantine")
+
+
+def test_tile_pyramid_invariants(spark, tiny_images):
+    """Pyramid algebra: the root row aggregates the whole image; every
+    non-root level's leaf counts sum to the root's; a tile's digest is
+    the xor of its children's digests (xor is associative/self-inverse)."""
+    from quadtree_block_compression_spark.operators.tiling import (
+        assign_tiles, tile_pyramid)
+
+    blocks = assign_tiles(tiny_images.limit(4)).cache()
+    pyr = tile_pyramid(blocks).cache()
+    leaves = {r.image_id: r.cnt for r in
+              blocks.filter("is_leaf").groupBy("image_id")
+              .agg(F.count("*").alias("cnt")).collect()}
+    roots = {r.image_id: r for r in pyr.where("anc_level = 0").collect()}
+    assert set(roots) == set(leaves)
+    for iid, n in leaves.items():
+        assert roots[iid].n_leaves == n and roots[iid].anc == ""
+    # per level: counts partition the leaf set
+    per_level = {(r.image_id, r.anc_level): r.total for r in
+                 pyr.groupBy("image_id", "anc_level")
+                 .agg(F.sum("n_leaves").alias("total")).collect()}
+    for (iid, lvl), total in per_level.items():
+        deeper = blocks.filter(
+            (F.col("image_id") == iid) & F.col("is_leaf")
+            & (F.col("level") >= lvl)).count()
+        assert total == deeper, (iid, lvl)
+    # digest recursion: parent digest == xor over children at level+1 ∪
+    # leaves AT that level — check roots vs xor of all leaf hashes
+    import functools
+    for iid in leaves:
+        hs = [r.block_hash for r in
+              blocks.filter((F.col("image_id") == iid)
+                            & F.col("is_leaf")).collect()]
+        assert roots[iid].content_digest == functools.reduce(
+            lambda a, b: a ^ b, hs)
