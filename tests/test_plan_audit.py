@@ -21,5 +21,6 @@ def test_all_plan_properties_hold(spark):
                     "q5_local_supplier_volume", "assign_tiles",
                     "text_quality", "corpus_clean", "ivf_probe_index",
                     "vocab_topk", "corpus_stats",
-                    "spatial_distance_join", "events_asof_join"):
+                    "spatial_distance_join", "events_asof_join",
+                    "corpus_weighted_sample", "tile_pyramid"):
         assert f"## {section}" in text, section
