@@ -243,6 +243,10 @@ _LSH_MAX_BUCKET = 100  # near-dup degenerate-bucket cap, mirrored in oracles
 _LSH_TOPK_TARGET = 128
 _LSH_TOPK_MAX_BUCKET = 512
 _NEAR_DUP_COS = 0.35
+# IVF list count at the gate SF: auto_n_clusters(500) == isqrt(500) == 22
+# (√n lists — the oracle's unrolled Lloyd build embeds this constant, and
+# ann_ivf_topk fails loudly if the live derivation ever drifts from it)
+_IVF_CLUSTERS = 22
 
 
 # unit-vector + single-fold cosine, mirroring ann._unit/_dot: normalize once
@@ -360,7 +364,14 @@ def _ivf_sql(n_clusters: int = 16, nprobe: int = 6, iters: int = 3,
           FROM {cen_prev} c0 LEFT JOIN vecs v USING (cluster))"""
 
     ctes = [f"""
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE CASE WHEN (SELECT count(*) FROM embeddings) = {_LSH_GATE_N}
+                       THEN TRUE
+                       ELSE error('IVF oracle only valid at the sf0.01 gate '
+                                  || '(n={_LSH_GATE_N}): its {n_clusters}-cluster '
+                                  || 'Lloyd build is auto_n_clusters(n) at that '
+                                  || 'size, and the Spark side derives the count '
+                                  || 'from the live table') END),
       en AS (SELECT vec_id, v, {normalize('v')} AS vn FROM e),
       cen0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
@@ -766,7 +777,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (emb,) = _tables(spark, sf, "embeddings")
         q = (emb.where(F.col("vec_id") < 10)
              .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")))
-        return ann.cosine_topk_ivf(emb, q, k=5, n_clusters=16, nprobe=6, iters=3)
+        # list count derived from table size (~√n; == _IVF_CLUSTERS at the
+        # sf0.01 gate) so per-probe work stays ~nprobe·√n as the table
+        # grows; the oracle embeds the gate value behind an error() guard
+        n = emb.count()
+        derived = ann.auto_n_clusters(n)
+        if n == _LSH_GATE_N and derived != _IVF_CLUSTERS:
+            raise AssertionError(
+                f"auto_n_clusters({n}) = {derived}, but the DuckDB oracle "
+                f"unrolls a {_IVF_CLUSTERS}-cluster Lloyd build — regenerate "
+                "_ivf_sql's constant (_IVF_CLUSTERS) in the same change")
+        return ann.cosine_topk_ivf(emb, q, k=5, n_clusters=derived,
+                                   nprobe=6, iters=3)
 
     def embedding_near_dup(spark, sf):
         # LSH-bucketed tier (scale-safe: banded bucket equi-joins replace the
@@ -1239,11 +1261,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_funnel": """
             -- click->purchase conversion within 30 min, via DuckDB's
-            -- native ASOF JOIN (right side pre-deduped per (user, ts))
+            -- native ASOF JOIN (right side pre-deduped per (user, ts)).
+            -- ts IS NOT NULL on BOTH sides pins the engine's no-event-time-
+            -- no-as-of rule (windows.py asof_join) rather than relying on
+            -- the generator never emitting null timestamps (ADVICE r4).
             WITH l AS (SELECT event_id, user_id, ts FROM events
-                       WHERE event_type = 'purchase'),
+                       WHERE event_type = 'purchase' AND ts IS NOT NULL),
             r AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
-                  WHERE event_type = 'click' GROUP BY user_id, ts),
+                  WHERE event_type = 'click' AND ts IS NOT NULL
+                  GROUP BY user_id, ts),
             a AS (SELECT l.user_id, l.ts AS lts, r.ts AS rts
                   FROM l ASOF LEFT JOIN r
                     ON l.user_id = r.user_id AND l.ts >= r.ts),
@@ -1262,11 +1288,13 @@ def oracle_sql() -> dict[str, str]:
             -- Spark union+window merge-sorted plan. Right side pre-deduped
             -- to max(event_id) per (user, ts) — the tie rule both engines
             -- then share; sentinels replace NULLs (nullable BIGINT becomes
-            -- float64 through pandas otherwise)
+            -- float64 through pandas otherwise). ts IS NOT NULL on both
+            -- sides pins the engine's null-ts-drop rule (ADVICE r4).
             WITH l AS (SELECT event_id, user_id, ts FROM events
-                       WHERE event_type = 'purchase'),
+                       WHERE event_type = 'purchase' AND ts IS NOT NULL),
             r AS (SELECT user_id, ts, max(event_id) AS event_id FROM events
-                  WHERE event_type = 'click' GROUP BY user_id, ts)
+                  WHERE event_type = 'click' AND ts IS NOT NULL
+                  GROUP BY user_id, ts)
             SELECT l.event_id AS left_event_id, l.user_id,
                    strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS left_ts,
                    coalesce(r.event_id, -1) AS asof_event_id,
@@ -1798,7 +1826,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'tile_assign' AS stage, count(*) AS rows_total
             FROM read_parquet('{_BLOCKS_GOLDEN}')
         """,
-        "ann_ivf_topk": _ivf_sql(),
+        "ann_ivf_topk": _ivf_sql(n_clusters=_IVF_CLUSTERS),
         # a 4-ary quadtree's leaf count is always ≡ 1 (mod 3) — pure tree
         # arithmetic, independent of any kernel; captions must all verify
         "quadtree_roundtrip": _snapshot_sql(

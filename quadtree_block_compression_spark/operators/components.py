@@ -168,6 +168,7 @@ def _alternating_labels(node_ids: DataFrame, edges: DataFrame) -> DataFrame:
 
     sig = checksum(cur)
     for _ in range(200):  # safety rail only: O(log² n) ≪ 200 for any n
+        prev = cur
         # large-star over the symmetrized set
         sym = cur.unionByName(cur.select(F.col("v").alias("u"),
                                          F.col("u").alias("v")))
@@ -190,7 +191,14 @@ def _alternating_labels(node_ids: DataFrame, edges: DataFrame) -> DataFrame:
                .localCheckpoint(eager=True))
         new_sig = checksum(cur)
         if new_sig == sig:
-            break
+            # checksum-collision guard: a colliding (count, xor-of-hashes)
+            # between DISTINCT edge sets would terminate early and silently
+            # mislabel a dedup-election input. Both frames are distinct sets
+            # with equal counts (count is part of the checksum), so one
+            # exceptAll emptiness check proves exact set equality. Runs at
+            # most once per call (only when the checksum already matched).
+            if cur.exceptAll(prev).isEmpty():
+                break
         sig = new_sig
     else:
         raise RuntimeError(

@@ -92,13 +92,18 @@ def near_dedup(blocks: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
             keys.append(k * bands + b)  # band id disambiguates key space
         return pd.Series(np.stack(keys, axis=1).tolist())
 
+    from ..functions.bucketing import cap_by_key
+    from ..functions.cache import persist_tracked
+
     min_sim = cfg.encoding.dedup_minimal_similarity
     sig = (blocks.select("image_id", "tile_id", "block_hash", "block_px")
            .withColumn("band", F.explode(band_keys("block_px"))))
     if max_bucket is not None:
-        sizes = sig.groupBy("band").agg(F.count("*").alias("_bn"))
-        sig = (sig.join(sizes.where(F.col("_bn") <= max_bucket).select("band"),
-                        "band"))
+        sig = cap_by_key(sig, ["band"], max_bucket)
+    # persist the CAPPED table: it feeds both sides of the band self-join,
+    # so without this the band_keys Arrow UDF + the cap aggregate execute
+    # twice per run (same invariant as dedup_text.minhash_lsh_pairs).
+    sig = persist_tracked(sig)
 
     left = sig.select(F.col("image_id").alias("a_img"), F.col("tile_id").alias("a_tile"),
                       F.col("block_px").alias("a_px"), "band", F.col("block_hash").alias("a_hash"))

@@ -15,9 +15,15 @@ with Z-order cells):
 4. exact Euclidean distance + ``row_number() ≤ k`` window top-k, ties broken
    deterministically by (distance, image_id, tile_id).
 
-The loop is driver-side but touches only the (small) unsatisfied-query set;
-the big blocks side is never re-shuffled — each iteration is a fresh
-broadcast hash join against the same cell-keyed blocks DataFrame.
+The ring loop is driver-side control flow only; what each round touches
+depends on the tier (``knn_ring(strategy=)``): the ``broadcast`` tier
+broadcasts the unsatisfied-query set into every ring join and severs its
+lineage through the driver (right when queries are interactively small);
+the ``shuffle`` tier keeps the query side distributed end to end — cell
+equi-joins and an anti-join-maintained pending set with per-round local
+checkpoints — so "kNN for every corpus item" works without ever
+materializing the query set on the driver. In both tiers the big blocks
+side is scanned from one persisted projection and never re-shuffled.
 """
 
 from __future__ import annotations
@@ -60,15 +66,36 @@ def _ring_cells(queries: DataFrame, ring: int, prev_ring: int) -> DataFrame:
 
 def knn_ring(points: DataFrame, queries: DataFrame,
              cfg: EngineConfig = DEFAULT_CONFIG, res: int | None = None,
-             max_ring: int = 8, initial_ring: int | None = None) -> DataFrame:
+             max_ring: int = 8, initial_ring: int | None = None,
+             strategy: str = "auto",
+             broadcast_query_limit: int = 50_000) -> DataFrame:
     """kNN of each query point over block centroids.
 
     ``points``: cell-keyed centroids (image_id, tile_id, wx, wy, cell) —
     output of ``spatial_join.block_centroids``. ``queries``: (query_id, x,
     y, k). Returns ``(query_id, image_id, tile_id, distance, rank)`` with
     rank ≤ k.
+
+    Two tiers share the ring schedule and the final election (VERDICT r4
+    #1 — "kNN for every corpus item" breaks a broadcast-only design):
+
+    * ``broadcast`` — the query side is broadcast into every ring join and
+      the pending set round-trips through the driver (lineage severed by
+      ``createDataFrame``). Right when queries are interactively small.
+    * ``shuffle`` — the query side stays distributed: cell-keyed and
+      equi-joined (plain shuffle join, AQE free to pick sides), the
+      pending set maintained as an anti-joined DataFrame whose lineage is
+      severed by a local checkpoint per round. Nothing query-sized ever
+      visits the driver, so |queries| ~ |points| works.
+    * ``auto`` (default) — one count of the query side picks the tier
+      (≤ ``broadcast_query_limit`` → broadcast).
     """
-    import pandas as pd
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = ("broadcast"
+                    if queries.count() <= broadcast_query_limit else "shuffle")
+    use_broadcast = strategy == "broadcast"
 
     from ..kernels.geometry import WORLD
     res = res if res is not None else cfg.spatial.cell_resolution
@@ -105,7 +132,8 @@ def knn_ring(points: DataFrame, queries: DataFrame,
     if pending.isEmpty():  # vacuous query set — checked ONCE, not per round
         radii = []
     for ring in radii:
-        cand = (pts.join(broadcast(_ring_cells(pending, ring, prev)),
+        ring_q = _ring_cells(pending, ring, prev)
+        cand = (pts.join(broadcast(ring_q) if use_broadcast else ring_q,
                          pts["cell"] == F.col("join_cell"))
                 .select("query_id", "image_id", "tile_id",
                         F.sqrt(F.pow(F.col("wx") - F.col("x"), 2)
@@ -120,21 +148,32 @@ def knn_ring(points: DataFrame, queries: DataFrame,
                 .filter((F.col("_rn") == F.col("k"))
                         & (F.col("distance") <= F.lit(float(ring) * cell_width)))
                 .select("query_id"))
-        # sever pending's lineage: the query set is tiny by contract, so a
-        # driver round-trip is cheaper than a growing anti-join chain
-        still = pending.join(done, "query_id", "left_anti").toPandas()
-        if len(still) == 0:
-            pending = spark.createDataFrame([], q_schema)
-            break
-        pending = spark.createDataFrame(still)
+        if use_broadcast:
+            # sever pending's lineage: the query set is tiny by contract, so
+            # a driver round-trip is cheaper than a growing anti-join chain
+            still = pending.join(done, "query_id", "left_anti").toPandas()
+            if len(still) == 0:
+                pending = spark.createDataFrame([], q_schema)
+                break
+            pending = spark.createDataFrame(still)
+        else:
+            # shuffle tier: the pending set never visits the driver — the
+            # anti-join result is checkpointed so its lineage (and hence
+            # every later ring's plan) stays one node deep
+            pending = (pending.join(done, "query_id", "left_anti")
+                       .localCheckpoint(eager=True))
+            if pending.isEmpty():
+                break
         prev = ring
 
     if gathered is None:
         gathered = queries.sparkSession.createDataFrame(
             [], "query_id string, image_id string, tile_id string, distance double")
     # queries still pending after max_ring (deep in empty regions) fall back
-    # to brute force — the tail is tiny by construction, so the cross join
-    # touches |pending| × |points|, not |queries| × |points|.
+    # to brute force — the tail is tiny by construction (in EITHER tier:
+    # max_ring covers a (2·max_ring+1)²-cell disk, so only queries in
+    # near-empty regions remain), so the cross join touches
+    # |pending| × |points|, not |queries| × |points|.
     w = Window.partitionBy("query_id").orderBy("distance", "image_id", "tile_id")
     ringed = (gathered.join(pending.select("query_id"), "query_id", "left_anti")
               .dropDuplicates(["query_id", "image_id", "tile_id"])

@@ -77,10 +77,16 @@ def polygons_by_cell(geoms: DataFrame) -> DataFrame:
 
 
 def _verify_pip(cand: DataFrame) -> DataFrame:
-    """Exact PIP verification on candidate rows (point, polygon) — Arrow UDF."""
+    """Exact PIP verification on candidate rows (point, polygon) — Arrow UDF.
+
+    Rows are grouped by the already-present ``geom_id`` (one vertex list per
+    geom by construction — vx/vy are joined in from the geoms table keyed by
+    geom_id), NOT by materialized per-row vertex tuples: tuple construction
+    was O(rows·vertices) Python work per batch for the same grouping
+    (VERDICT r4 finding #3)."""
 
     @pandas_udf("boolean")
-    def pip(px, py, vx, vy):  # type: ignore[misc]
+    def pip(px, py, gid, vx, vy):  # type: ignore[misc]
         import numpy as np
         import pandas as pd
         from ..kernels.geometry import points_in_polygon
@@ -89,15 +95,19 @@ def _verify_pip(cand: DataFrame) -> DataFrame:
             return pd.Series(out)
         x = px.to_numpy(dtype=np.float64)
         y = py.to_numpy(dtype=np.float64)
-        # group rows by polygon to vectorize across points per polygon
+        vxa = vx.to_numpy()
+        vya = vy.to_numpy()
+        # group rows by polygon id to vectorize across points per polygon
         df = pd.DataFrame({"x": x, "y": y, "i": np.arange(len(x))})
-        for (vxs, vys), grp in df.groupby([vx.map(tuple), vy.map(tuple)], sort=False):
+        for _, grp in df.groupby(gid.to_numpy(), sort=False):
+            idx = grp["i"].to_numpy()
             m = points_in_polygon(grp["x"].to_numpy(), grp["y"].to_numpy(),
-                                  np.asarray(vxs), np.asarray(vys))
-            out[grp["i"].to_numpy()] = m
+                                  np.asarray(vxa[idx[0]]), np.asarray(vya[idx[0]]))
+            out[idx] = m
         return pd.Series(out)
 
-    return cand.withColumn("_inside", pip("wx", "wy", "vx", "vy")).filter("_inside").drop("_inside")
+    return (cand.withColumn("_inside", pip("wx", "wy", "geom_id", "vx", "vy"))
+            .filter("_inside").drop("_inside"))
 
 
 def spatial_join_broadcast(points: DataFrame, geoms: DataFrame) -> DataFrame:

@@ -30,17 +30,27 @@ def make_batch_processor(blocks_path: str, cfg: EngineConfig = DEFAULT_CONFIG,
     from ..plans.lineage import partition_lineage
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        blocks = assign_tiles(batch_df, cfg).withColumn("_batch_id", F.lit(batch_id))
-        (blocks.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_batch_id").parquet(blocks_path))
-        if lineage_path:
-            (partition_lineage(blocks, f"ingest_batch_{batch_id}",
-                               weigh_col="block_px")
-             .withColumn("_batch_id", F.lit(batch_id))
-             .write.mode("overwrite")
+        from ..functions.cache import release_caches
+        try:
+            blocks = assign_tiles(batch_df, cfg).withColumn("_batch_id", F.lit(batch_id))
+            (blocks.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("_batch_id").parquet(lineage_path))
+             .partitionBy("_batch_id").parquet(blocks_path))
+            if lineage_path:
+                (partition_lineage(blocks, f"ingest_batch_{batch_id}",
+                                   weigh_col="block_px")
+                 .withColumn("_batch_id", F.lit(batch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("_batch_id").parquet(lineage_path))
+        finally:
+            # the micro-batch IS the query boundary on a stream: foreachBatch
+            # runs on one long-lived stream-execution thread, so without a
+            # per-batch release, persist_tracked frames accumulate
+            # unboundedly over a continuous stream (neither the per-thread
+            # release nor the dead-thread drain ever fires). All writes have
+            # completed (or failed) by here, so releasing is safe.
+            release_caches()
 
     return process_batch
 
@@ -79,20 +89,32 @@ def make_dedup_batch_processor(index_path: str, out_path: str,
                                         dedup_index_append)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.cache import persist_tracked, release_caches
         spark = batch_df.sparkSession
-        res = dedup_incremental_indexed(
-            spark, index_path, batch_df, n=n, num_perm=num_perm,
-            bands=bands, threshold=threshold, max_bucket=max_bucket,
-            exclude_batch_id=batch_id)
-        annotated = batch_df.join(res, "doc_id")
-        (annotated.withColumn("_batch_id", F.lit(int(batch_id)))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("_batch_id").parquet(out_path))
-        accepted = (annotated.where(F.col("dup_tier") == "unique")
-                    .select("doc_id", "text"))
-        dedup_index_append(accepted, index_path, batch_id,
-                           n=n, num_perm=num_perm, bands=bands)
+        try:
+            res = dedup_incremental_indexed(
+                spark, index_path, batch_df, n=n, num_perm=num_perm,
+                bands=bands, threshold=threshold, max_bucket=max_bucket,
+                exclude_batch_id=batch_id)
+            # persist: the classification (index parquet scans + banded
+            # joins) feeds BOTH the annotated-batch write and the
+            # accepted-docs index append — without it the whole probe plan
+            # re-executes per downstream write job.
+            annotated = persist_tracked(batch_df.join(res, "doc_id"))
+            (annotated.withColumn("_batch_id", F.lit(int(batch_id)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("_batch_id").parquet(out_path))
+            accepted = (annotated.where(F.col("dup_tier") == "unique")
+                        .select("doc_id", "text"))
+            dedup_index_append(accepted, index_path, batch_id,
+                               n=n, num_perm=num_perm, bands=bands)
+        finally:
+            # per-batch release: foreachBatch runs every micro-batch on one
+            # long-lived stream-execution thread, so this is the only point
+            # the thread's persist_tracked frames (sh_new / union_buckets /
+            # annotated) ever get freed on a continuous stream.
+            release_caches()
 
     return process_batch
 

@@ -51,7 +51,12 @@ def test_no_orphaned_cache_after_release(spark, name):
     base = _sql_cache_size(spark)  # unrelated session fixtures may be cached
     assert qs[name](spark, SF_DIR).count() >= 0
     release_caches()
-    assert _sql_cache_size(spark) == base, f"{name} left cached plans behind"
+    # ≤, not ==: Spark's cache manager keys on CANONICALIZED plans, so if a
+    # session fixture has .cache()d a plan identical to one the query
+    # persist_tracked's (e.g. assign_tiles over the same 16-image fixture),
+    # the release legitimately drops that shared entry too (correctness-safe
+    # — blocks recompute from lineage). What the test pins is no RESIDUE.
+    assert _sql_cache_size(spark) <= base, f"{name} left cached plans behind"
 
 
 def test_query_boundary_releases_previous_caches(spark):
