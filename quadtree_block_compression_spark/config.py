@@ -36,6 +36,12 @@ class EncodingConfig:
 
 
 @dataclass(frozen=True)
+class VisualizationConfig:
+    # reference: configs/config.yml:29-31 (Visualization.Enable)
+    enable: bool = False
+
+
+@dataclass(frozen=True)
 class SpatialConfig:
     # Z-order cell resolution (bits per axis) used for cell keys — the
     # pure-numpy stand-in for H3/S2 cells (SURVEY.md §2.12).
@@ -45,11 +51,133 @@ class SpatialConfig:
     salt_factor: int = 8
 
 
+_INTERPOLATORS = ("NearestNeighbor", "ApproxBiLinear", "BiLinear", "CatmullRom")
+_ARCHIVE_FORMATS = ("gzip", "zip")
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     quadtree: QuadtreeConfig = field(default_factory=QuadtreeConfig)
     encoding: EncodingConfig = field(default_factory=EncodingConfig)
     spatial: SpatialConfig = field(default_factory=SpatialConfig)
+    visualization: VisualizationConfig = field(default_factory=VisualizationConfig)
+
+    @classmethod
+    def from_yaml_bytes(cls, data: "bytes | str") -> "EngineConfig":
+        """Construct from a reference-schema YAML document
+        (``pkg/config/config.go:9-55``; example ``configs/config.yml:1-33``)
+        so a reference user's config file drives this engine unchanged.
+
+        The reference's ``Parallelism`` booleans (``config.go:33-34,41`` —
+        its goroutine fan-out switches) are accepted and IGNORED: Spark's
+        scheduler owns parallelism here (partition counts + AQE, set in
+        :mod:`.session`), so they map to no engine knob by design.
+
+        Unknown interpolator / archive-format names fail fast — a typo'd
+        config silently falling back to defaults would be a semantic drift
+        the round-trip tests could not see.
+        """
+        text = data.decode("utf-8") if isinstance(data, bytes) else data
+        doc = parse_yaml_subset(text)
+        qt_d = doc.get("Quadtree", {}) or {}
+        enc_d = doc.get("Encoding", {}) or {}
+        skip_d = enc_d.get("SkipOutOfBoundsBlocks", {}) or {}
+        dedup_d = enc_d.get("DeduplicateBlocks", {}) or {}
+        vis_d = doc.get("Visualization", {}) or {}
+
+        base_qt, base_enc = QuadtreeConfig(), EncodingConfig()
+        down = qt_d.get("DownsamplingInterpolator",
+                        base_qt.downsampling_interpolator)
+        up = qt_d.get("UpsamplingInterpolator", base_qt.upsampling_interpolator)
+        for name in (down, up):
+            if name not in _INTERPOLATORS:
+                raise ValueError(
+                    f"unknown interpolator {name!r}; expected one of "
+                    f"{_INTERPOLATORS} (reference pkg/utils/utils.go naming)")
+        fmt = enc_d.get("ArchiveFormat", base_enc.archive_format)
+        if fmt not in _ARCHIVE_FORMATS:
+            raise ValueError(f"unknown ArchiveFormat {fmt!r}; expected one "
+                             f"of {_ARCHIVE_FORMATS}")
+        return cls(
+            quadtree=QuadtreeConfig(
+                similarity_cutoff=float(qt_d.get("SimilarityCutoff",
+                                                 base_qt.similarity_cutoff)),
+                downsampling_interpolator=down,
+                upsampling_interpolator=up),
+            encoding=EncodingConfig(
+                skip_out_of_bounds_blocks=bool(skip_d.get(
+                    "Enable", base_enc.skip_out_of_bounds_blocks)),
+                deduplicate_blocks=bool(dedup_d.get(
+                    "Enable", base_enc.deduplicate_blocks)),
+                dedup_minimal_similarity=float(dedup_d.get(
+                    "MinimalSimilarity", base_enc.dedup_minimal_similarity)),
+                archive_format=fmt),
+            visualization=VisualizationConfig(
+                enable=bool(vis_d.get("Enable", False))))
+
+    @classmethod
+    def from_yaml_file(cls, path: str) -> "EngineConfig":
+        """Mirror of the reference's ``NewConfigFromFile``
+        (``pkg/config/config.go:58-64``)."""
+        with open(path, "rb") as f:
+            return cls.from_yaml_bytes(f.read())
+
+
+def _yaml_scalar(tok: str):
+    """Scalar per the subset the reference schema needs: quoted strings,
+    booleans in Go-yaml's accepted spellings, ints, floats, bare strings."""
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+        return tok[1:-1]
+    low = tok.lower()
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
+    for cast in (int, float):
+        try:
+            return cast(tok)
+        except ValueError:
+            pass
+    return tok
+
+
+def parse_yaml_subset(text: str) -> dict:
+    """Minimal indentation-scoped YAML-mapping parser — exactly the subset
+    the reference config schema uses (nested mappings of scalars, ``#``
+    comments, quoted strings). Stdlib-only on purpose: the engine must load
+    a reference ``config.yml`` in containers that ship no yaml wheel.
+    Not a general YAML parser: no sequences, anchors, multi-line scalars,
+    or ``#`` inside unquoted values."""
+    root: dict = {}
+    stack: list[tuple[int, dict]] = [(-1, root)]
+    for raw in text.splitlines():
+        stripped = raw.strip()
+        # full-line comments; inline comments are stripped at the last '#'
+        # preceded by whitespace (quoted values are re-joined by _yaml_scalar
+        # only when the quotes survive, so "#" inside quotes is unsupported
+        # — documented subset)
+        if not stripped or stripped.startswith("#"):
+            continue
+        line = raw.split(" #", 1)[0].rstrip()
+        if not line.strip():
+            continue
+        indent = len(line) - len(line.lstrip(" "))
+        body = line.strip()
+        if ":" not in body:
+            raise ValueError(f"unsupported YAML line (no mapping key): {raw!r}")
+        key, _, val = body.partition(":")
+        key = _yaml_scalar(key.strip())
+        while stack and indent <= stack[-1][0]:
+            stack.pop()
+        parent = stack[-1][1]
+        val = val.strip()
+        if val == "":
+            child: dict = {}
+            parent[key] = child
+            stack.append((indent, child))
+        else:
+            parent[key] = _yaml_scalar(val)
+    return root
 
 
 DEFAULT_CONFIG = EngineConfig()

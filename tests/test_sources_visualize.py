@@ -36,3 +36,33 @@ def test_render_tile_overlay(spark, tiny_images):
         # root box corner pixel is the box color on at least one image > 1px
         if meta.w > 2 and meta.h > 2:
             assert (img[0, 0] == np.array([255, 0, 0])).all()
+
+
+def test_write_analytics_reference_dir_convention(spark, tiny_images, tmp_path):
+    """Reference parity (cmd/codec/main.go:139-181): artifacts land in
+    analytics_dir/<unix-ts>/, an existing dir probes <ts>_0, <ts>_1, …;
+    disabled or empty dir is a no-op."""
+    from quadtree_block_compression_spark.operators.tiling import assign_tiles
+    from quadtree_block_compression_spark.operators.visualize import (
+        render_tile_overlay, write_analytics)
+    some = tiny_images.limit(2)
+    art = render_tile_overlay(assign_tiles(some), some).cache()
+    base = str(tmp_path / "analytics")
+    os.makedirs(base)
+    d1 = write_analytics(art, base, timestamp=1700000000)
+    assert d1 == os.path.join(base, "1700000000")
+    assert sorted(os.listdir(d1)) == sorted(
+        f"{r.image_id}.png" for r in some.select("image_id").collect())
+    # collision: same timestamp probes _0 then _1, like the reference loop
+    d2 = write_analytics(art, base, timestamp=1700000000)
+    d3 = write_analytics(art, base, timestamp=1700000000)
+    assert d2 == os.path.join(base, "1700000000_0")
+    assert d3 == os.path.join(base, "1700000000_1")
+    # disabled / empty-dir guards are no-ops
+    assert write_analytics(art, base, enabled=False) is None
+    assert write_analytics(art, "", timestamp=1) is None
+    # bytes round-trip untouched
+    want = {r.image_id: bytes(r.overlay_png) for r in art.collect()}
+    for name, blob in want.items():
+        with open(os.path.join(d1, f"{name}.png"), "rb") as f:
+            assert f.read() == blob
