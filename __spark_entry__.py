@@ -1080,6 +1080,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (clean.filter(F.col("quality") >= 0.5)
                 .select("doc_id", "fingerprint", "quality", "lang_pred"))
 
+    def pii_redact_docs(spark, sf):
+        """PII scrub over the corpus. The word-soup testdata carries no PII,
+        so the query SEEDS deterministic PII (emails/phones/SSNs/IPs keyed
+        by doc_id residues, mirrored verbatim in the oracle) before running
+        the redactor — the gate then grades real detections and real
+        replacements, not an all-zeros pass."""
+        from quadtree_block_compression_spark.operators.text_analysis import (
+            pii_redact)
+        (docs,) = _tables(spark, sf, "documents")
+        d = F.col("doc_id")
+        seeded = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(d % 5 == 0,
+                       F.concat(F.lit(" reach me at user"), d.cast("string"),
+                                F.lit("@mail.example.com")))
+                .otherwise(F.lit("")),
+                F.when(d % 7 == 0, F.lit(" call 555-123-4567 now"))
+                .otherwise(F.lit("")),
+                F.when(d % 11 == 0, F.lit(" ssn 123-45-6789 leaked"))
+                .otherwise(F.lit("")),
+                F.when(d % 13 == 0,
+                       F.concat(F.lit(" host 10.0."), (d % 256).cast("string"),
+                                F.lit(".1")))
+                .otherwise(F.lit("")),
+            ).alias("text"))
+        return pii_redact(seeded).select(
+            "doc_id", "text_redacted", "n_email", "n_ssn", "n_phone", "n_ip",
+            "has_pii")
+
+    def decontaminate_docs(spark, sf):
+        """Benchmark decontamination: corpus docs sharing any word 8-gram
+        with the benchmark set (deterministically, every 50th doc — a
+        self-contamination audit, so benchmark members flag themselves).
+        Broadcast benchmark shingles; the corpus side is never shuffled."""
+        from quadtree_block_compression_spark.operators.contamination import (
+            ngram_contamination)
+        (docs,) = _tables(spark, sf, "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        return ngram_contamination(docs, bench, n=8)
+
     def tile_range_query(spark, sf):
         from quadtree_block_compression_spark.operators.tile_range import tile_range_scan
         from quadtree_block_compression_spark.functions.cache import persist_tracked
@@ -1114,6 +1156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": fingerprint_docs,
         "corpus_clean": corpus_clean,
         "corpus_clean_components": corpus_clean_components,
+        "pii_redact": pii_redact_docs,
+        "decontaminate": decontaminate_docs,
         "token_counts": token_counts,
         "text_quality": text_quality,
         "lang_id": lang_id,
@@ -1188,7 +1232,13 @@ def _with_cache_release(fn):
 def oracle_sql() -> dict[str, str]:
     from quadtree_block_compression_spark.operators.components import (
         components_recursive_sql)
+    from quadtree_block_compression_spark.operators.text_analysis import (
+        PII_PATTERNS)
     h64 = portable_hash64_sql
+    # the IDENTICAL Java∩RE2 regexes the engine applies (text_analysis
+    # guarantees the common subset) — interpolated, never retyped
+    _pii = dict(PII_PATTERNS)
+    _EM, _SSNP, _PH, _IPP = (_pii[k] for k in ("EMAIL", "SSN", "PHONE", "IP"))
 
     morton_sql = ("(SELECT CAST(sum(((ix >> i.i) & 1)::BIGINT * power(2, 2*i.i)::BIGINT "
                   "+ ((iy >> i.i) & 1)::BIGINT * power(2, 2*i.i+1)::BIGINT) AS BIGINT) "
@@ -1577,6 +1627,66 @@ def oracle_sql() -> dict[str, str]:
             FROM kept k JOIN quality q ON k.doc_id = q.doc_id
             JOIN langs l ON k.doc_id = l.doc_id
             WHERE q.q >= 0.5
+        """,
+        "pii_redact": f"""
+            -- identical seeding + identical Java∩RE2 patterns (interpolated
+            -- from text_analysis.PII_PATTERNS), applied in the same order
+            WITH seeded AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0 THEN ' reach me at user'
+                             || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567 now'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789 leaked'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.'
+                             || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                        ELSE '' END
+                     AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     text, '{_EM}', '<EMAIL>', 'g'),
+                     '{_SSNP}', '<SSN>', 'g'),
+                     '{_PH}', '<PHONE>', 'g'),
+                     '{_IPP}', '<IP>', 'g') AS text_redacted,
+                   CAST(len(regexp_extract_all(text, '{_EM}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{_SSNP}')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text, '{_PH}')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '{_IPP}')) AS BIGINT) AS n_ip,
+                   (len(regexp_extract_all(text, '{_EM}'))
+                    + len(regexp_extract_all(text, '{_SSNP}'))
+                    + len(regexp_extract_all(text, '{_PH}'))
+                    + len(regexp_extract_all(text, '{_IPP}'))) > 0 AS has_pii
+            FROM seeded
+        """,
+        "decontaminate": """
+            -- word 8-gram overlap vs the every-50th-doc benchmark set;
+            -- same split/slice shingling as the minhash oracles
+            WITH dsh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(arr) - 8 + 1, 0) + 1),
+                              i -> array_to_string(arr[i:i + 7], ' '))) AS shingle
+                FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr
+                      FROM documents)
+              ) WHERE length(shingle) > 0),
+            bsh AS (
+              SELECT DISTINCT doc_id AS bench_doc, shingle FROM dsh
+              WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT d.doc_id,
+                     CAST(count(DISTINCT d.shingle) AS BIGINT) AS n_shared_ngrams,
+                     CAST(min(b.bench_doc) AS BIGINT) AS bench_doc
+              FROM dsh d JOIN bsh b USING (shingle)
+              GROUP BY d.doc_id)
+            SELECT doc.doc_id,
+                   h.doc_id IS NOT NULL AS contaminated,
+                   CAST(coalesce(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
+                   CAST(coalesce(h.bench_doc, -1) AS BIGINT) AS bench_doc
+            FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
         """,
         "token_counts": r"""
             SELECT doc_id,

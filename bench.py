@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "corpus_sample", "vocab_topk", "corpus_stats",
     "spatial_distance_join", "events_asof_join", "dedup_incremental",  # r4
     "corpus_weighted_sample", "events_funnel", "tile_pyramid_rollup",  # r4
-    "corpus_clean_components", "ann_ivf_topk",  # r5
+    "corpus_clean_components", "ann_ivf_topk", "pii_redact", "decontaminate",  # r5
 ]
 
 

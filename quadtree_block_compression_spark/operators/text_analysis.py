@@ -128,6 +128,47 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
                        norm_len.alias("norm_len"))
 
 
+# PII detector patterns, ordered (redaction applies them in this order).
+# Written to the Java-regex ∩ RE2 common subset (no lookarounds, no
+# backrefs, ASCII \b) so the DuckDB oracle runs the IDENTICAL patterns.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("PHONE", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII scrub — the redaction pass a training-data pipeline runs before
+    anything leaves the ingest boundary. Detects emails, SSN-shaped ids,
+    phone numbers and IPv4 addresses; each is counted (on the input text,
+    per pattern independently) and replaced by its ``<KIND>`` token in
+    :data:`PII_PATTERNS` order.
+
+    Pure whole-stage-codegen projection: one scan, zero joins, zero
+    Python — same scaling posture as the rest of this module. The SSN and
+    phone shapes are disjoint (3-2-4 vs 3-3-4 digit groups), so sequential
+    replacement order cannot cannibalize counts; either way both engines
+    apply the identical sequence, so the oracle comparison is exact.
+    """
+    from ..functions.parallelism import spread
+    docs = spread(docs)  # regex-heavy projection: use every core
+    t = F.col(text_col)
+    counts = [F.regexp_count(t, F.lit(p)).cast("long") for _, p in PII_PATTERNS]
+    count_cols = [c.alias(f"n_{k.lower()}")
+                  for (k, _), c in zip(PII_PATTERNS, counts)]
+    red = t
+    for k, p in PII_PATTERNS:
+        red = F.regexp_replace(red, p, f"<{k}>")
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return docs.select(F.col(id_col), red.alias("text_redacted"),
+                       *count_cols, (total > 0).alias("has_pii"))
+
+
 def annotate(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Fingerprint + quality + language in ONE whole-stage-codegen

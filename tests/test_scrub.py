@@ -1,0 +1,73 @@
+"""PII redaction + benchmark decontamination (training-data hygiene ops)."""
+
+from pyspark.sql import functions as F
+
+from quadtree_block_compression_spark.operators.text_analysis import pii_redact
+from quadtree_block_compression_spark.operators.contamination import (
+    ngram_contamination)
+
+
+def test_pii_redact_detects_and_replaces(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "call 555-123-4567 or 555.987.6543 asap"),
+        (3, "ssn 123-45-6789 and host 192.168.1.100 leaked"),
+        (4, "nothing sensitive here at all"),
+        (5, "two mails a@b.io c@d.co one ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[1].n_email == 1 and out[1].text_redacted == \
+        "mail me at <EMAIL> today"
+    assert out[2].n_phone == 2 and out[2].text_redacted == \
+        "call <PHONE> or <PHONE> asap"
+    assert out[3].n_ssn == 1 and out[3].n_ip == 1 and out[3].text_redacted == \
+        "ssn <SSN> and host <IP> leaked"
+    assert out[4].has_pii is False and out[4].text_redacted == rows[3][1]
+    assert out[5].n_email == 2 and out[5].n_ip == 1 and out[5].has_pii is True
+    # counts are BIGINT on both engines (oracle schema parity)
+    assert dict(pii_redact(df).dtypes)["n_email"] == "bigint"
+
+
+def test_pii_ssn_phone_shapes_disjoint(spark):
+    # 3-2-4 (SSN) and 3-3-4 (phone) digit groups never cross-match
+    df = spark.createDataFrame(
+        [(1, "a 555-123-4567 b"), (2, "a 123-45-6789 b")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[1].n_phone == 1 and out[1].n_ssn == 0
+    assert out[2].n_ssn == 1 and out[2].n_phone == 0
+
+
+def test_ngram_contamination_flags_shared_ngrams(spark):
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [(1, f"prefix {eight} suffix tail"),      # shares the planted 8-gram
+         (2, "totally different words all the way through here now"),
+         (3, f"another copy {eight} again")],     # also shares it
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, f"benchmark question {eight} answer")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           ngram_contamination(docs, bench, n=8).collect()}
+    assert out[1].contaminated and out[1].bench_doc == 100
+    assert out[1].n_shared_ngrams >= 1
+    assert not out[2].contaminated and out[2].bench_doc == -1 \
+        and out[2].n_shared_ngrams == 0
+    assert out[3].contaminated
+    # benchmark ⊆ corpus self-audit: a benchmark member flags itself
+    out2 = {r.doc_id: r for r in
+            ngram_contamination(docs.unionByName(bench), bench, n=8).collect()}
+    assert out2[100].contaminated and out2[100].bench_doc == 100
+
+
+def test_ngram_contamination_plan_broadcasts_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"t{i}_{j}" for j in range(10)))
+         for i in range(20)], "doc_id long, text string")
+    bench = docs.where("doc_id % 10 = 0")
+    plan = ngram_contamination(docs, bench, n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
