@@ -866,7 +866,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   "k": 5} for r in nat]
         queries_df = spark.createDataFrame(pd.DataFrame(qrows))
         pts = _customer_points(spark, sf)
-        out = knn.knn_ring(pts, queries_df, res=_RES, max_ring=8)
+        # the query set is the 25 nations by construction — pin the
+        # broadcast tier rather than paying auto's query-side count action
+        out = knn.knn_ring(pts, queries_df, res=_RES, max_ring=8,
+                           strategy="broadcast")
         return out.select("query_id", F.col("image_id").alias("point_id"),
                           F.round("distance", 6).alias("distance"), "rank")
 
