@@ -1114,6 +1114,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "text_redacted", "n_email", "n_ssn", "n_phone", "n_ip",
             "has_pii")
 
+    def doc_repetition(spark, sf):
+        """Gopher-rule repetition signals per doc (top-term dominance +
+        duplicate-bigram mass) — one HOF projection, no shuffle."""
+        from quadtree_block_compression_spark.operators.text_analysis import (
+            repetition_features)
+        (docs,) = _tables(spark, sf, "documents")
+        return repetition_features(docs)
+
     def decontaminate_docs(spark, sf):
         """Benchmark decontamination: corpus docs sharing any word 8-gram
         with the benchmark set (deterministically, every 50th doc — a
@@ -1161,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_components": corpus_clean_components,
         "pii_redact": pii_redact_docs,
         "decontaminate": decontaminate_docs,
+        "doc_repetition": doc_repetition,
         "token_counts": token_counts,
         "text_quality": text_quality,
         "lang_id": lang_id,
@@ -1690,6 +1699,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
                    CAST(coalesce(h.bench_doc, -1) AS BIGINT) AS bench_doc
             FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+        """,
+        "doc_repetition": r"""
+            -- same token array, same HOF shapes as the engine projection
+            WITH w AS (
+              SELECT doc_id, trim(lower(text)) AS t,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS words
+              FROM documents),
+            b AS (
+              SELECT doc_id, t, words,
+                     list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                                    i -> array_to_string(words[i:i + 1], ' '))
+                       AS bigrams
+              FROM w)
+            SELECT doc_id,
+                   CASE WHEN length(t) = 0 THEN 0
+                        ELSE CAST(len(words) AS BIGINT) END AS n_words,
+                   CASE WHEN length(t) = 0 THEN 0.0
+                        ELSE round(list_max(list_transform(list_distinct(words),
+                               d -> len(list_filter(words, x -> x = d))))
+                               / len(words), 6) END AS top_word_ratio,
+                   CASE WHEN length(t) = 0 THEN 0.0
+                        ELSE round((len(bigrams) - len(list_distinct(bigrams)))
+                               / greatest(len(bigrams), 1), 6) END
+                     AS dup_bigram_ratio
+            FROM b
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -183,15 +183,24 @@ def knn_ring(points: DataFrame, queries: DataFrame,
               .select("query_id", "image_id", "tile_id", "distance", "rank"))
     if pending.isEmpty():
         return ringed
-    fallback = knn_bruteforce(points, pending.select("query_id", "x", "y", "k"))
+    # broadcast of the tail is a broadcast-tier privilege: in the shuffle
+    # tier the caller chose "queries may be corpus-sized", and a pathological
+    # input (max_ring too small for the density) could leave a large pending
+    # set — never materialize it driver-side there
+    fallback = knn_bruteforce(points, pending.select("query_id", "x", "y", "k"),
+                              broadcast_queries=use_broadcast)
     return ringed.unionByName(fallback)
 
 
-def knn_bruteforce(points: DataFrame, queries: DataFrame) -> DataFrame:
+def knn_bruteforce(points: DataFrame, queries: DataFrame,
+                   broadcast_queries: bool = True) -> DataFrame:
     """Oracle-shaped baseline: cross join + window top-k. Correct at any
-    scale but O(|P|·|Q|) — used to verify ``knn_ring`` and for tiny inputs."""
+    scale but O(|P|·|Q|) — used to verify ``knn_ring`` and for tiny inputs.
+    ``broadcast_queries=False`` drops the broadcast hint (AQE picks the
+    strategy) for callers whose query side may not fit an executor."""
+    q = queries.select("query_id", "x", "y", "k")
     cand = (points.select("image_id", "tile_id", "wx", "wy")
-            .crossJoin(broadcast(queries.select("query_id", "x", "y", "k")))
+            .crossJoin(broadcast(q) if broadcast_queries else q)
             .withColumn("distance",
                         F.sqrt(F.pow(F.col("wx") - F.col("x"), 2)
                                + F.pow(F.col("wy") - F.col("y"), 2))))

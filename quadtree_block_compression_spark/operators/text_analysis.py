@@ -169,6 +169,45 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
                        *count_cols, (total > 0).alias("has_pii"))
 
 
+def repetition_features(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition signals — the Gopher-rule quality heuristics
+    (top-term dominance, duplicate n-gram mass) used to drop boilerplate and
+    degenerate generations from training corpora.
+
+    Columns: ``n_words`` (whitespace tokens, 0 for blank), ``top_word_ratio``
+    (most frequent word's share of all tokens), ``dup_bigram_ratio``
+    (fraction of word bigrams that are repeats of an earlier bigram).
+
+    All JVM higher-order functions over the per-row token array — per-doc
+    work is O(tokens·distinct) with no shuffle, no explode, no Python, so
+    the stage stays a single whole-stage projection at any corpus size.
+    """
+    from ..functions.parallelism import spread
+    docs = spread(docs)
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.split(t, r"\s+")
+    n = F.size(words)
+    counts = F.transform(
+        F.array_distinct(words),
+        lambda d: F.size(F.filter(words, lambda w: w == d)))
+    top_ratio = F.round(F.array_max(counts) / n, 6)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    n_bi = F.size(bigrams)
+    dup_bi = F.round((n_bi - F.size(F.array_distinct(bigrams)))
+                     / F.greatest(n_bi, F.lit(1)), 6)
+    blank = F.length(t) == 0
+    return docs.select(
+        F.col(id_col),
+        F.when(blank, F.lit(0)).otherwise(n).cast("long").alias("n_words"),
+        F.when(blank, F.lit(0.0)).otherwise(top_ratio).alias("top_word_ratio"),
+        F.when(blank, F.lit(0.0)).otherwise(dup_bi).alias("dup_bigram_ratio"))
+
+
 def annotate(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Fingerprint + quality + language in ONE whole-stage-codegen

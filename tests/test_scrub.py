@@ -62,6 +62,30 @@ def test_ngram_contamination_flags_shared_ngrams(spark):
     assert out2[100].contaminated and out2[100].bench_doc == 100
 
 
+def test_repetition_features_gopher_signals(spark):
+    from quadtree_block_compression_spark.operators.text_analysis import (
+        repetition_features)
+    rows = [
+        (1, "spam spam spam spam"),            # one word dominates, bigram dup
+        (2, "all words here are unique now"),  # no repetition
+        (3, "ab cd ab cd ab cd"),              # bigram cycle
+        (4, "   "),                            # blank
+        (5, "solo"),                           # single token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert out[1].n_words == 4 and out[1].top_word_ratio == 1.0
+    # bigrams of doc1: 3x "spam spam" -> 2 of 3 are repeats
+    assert out[1].dup_bigram_ratio == round(2 / 3, 6)
+    assert out[2].top_word_ratio == round(1 / 6, 6)
+    assert out[2].dup_bigram_ratio == 0.0
+    # doc3 bigrams: [ab cd, cd ab, ab cd, cd ab, ab cd] -> 3 repeats of 5
+    assert out[3].dup_bigram_ratio == round(3 / 5, 6)
+    assert out[4].n_words == 0 and out[4].top_word_ratio == 0.0
+    assert out[5].n_words == 1 and out[5].dup_bigram_ratio == 0.0
+    assert dict(repetition_features(df).dtypes)["n_words"] == "bigint"
+
+
 def test_ngram_contamination_plan_broadcasts_benchmark(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i} " + " ".join(f"t{i}_{j}" for j in range(10)))

@@ -161,6 +161,21 @@ def test_knn_shuffle_tier_matches_bruteforce_on_corpus_queries(points, spark):
     assert g == e
 
 
+def test_knn_shuffle_tier_fallback_no_broadcast(points, spark):
+    """max_ring too small for the density forces the brute-force fallback;
+    in the shuffle tier the pending tail must go through the NON-broadcast
+    cross join (a corpus-sized query set may not fit an executor) and the
+    result must still equal brute force exactly."""
+    queries = spark.createDataFrame(generate_knn_queries(n=10, seed=3))
+    got = knn_ring(points, queries, res=6, max_ring=1, strategy="shuffle")
+    expect = knn_bruteforce(points, queries)
+    g = {(r.query_id, r.rank): (r.image_id, r.tile_id) for r in got.collect()}
+    e = {(r.query_id, r.rank): (r.image_id, r.tile_id) for r in expect.collect()}
+    from quadtree_block_compression_spark.functions.cache import release_caches
+    release_caches()
+    assert g == e
+
+
 def test_knn_k_respected(points, spark):
     queries = spark.createDataFrame(generate_knn_queries(n=8, seed=9))
     got = knn_ring(points, queries, res=6, max_ring=40).cache()
