@@ -162,9 +162,12 @@ def main() -> None:
         return
 
     # scaling evidence is part of the default run (disable with --no-scaling
-    # or QBCS_NO_SCALING=1 for quick iterations)
-    scaling = ("--no-scaling" not in sys.argv
-               and not os.environ.get("QBCS_NO_SCALING"))
+    # or QBCS_NO_SCALING=1 for quick iterations); --scaling-only skips the
+    # query sweep for a standalone scaling sample (host windows swing the
+    # efficiency, so a second sample in a different window is cheap signal)
+    scaling_only = "--scaling-only" in sys.argv
+    scaling = scaling_only or ("--no-scaling" not in sys.argv
+                               and not os.environ.get("QBCS_NO_SCALING"))
     t_start = time.time()
     spark = _session(CPUS)
     qs = entrymod.queries()
@@ -179,7 +182,7 @@ def main() -> None:
     blocks_per_sec = round(n_blocks / dt, 1)
 
     from quadtree_block_compression_spark.functions.cache import release_caches
-    for name in BENCH_QUERIES:
+    for name in ([] if scaling_only else BENCH_QUERIES):
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

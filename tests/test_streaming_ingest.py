@@ -123,3 +123,56 @@ def test_streaming_near_dedup_ingest_grows_index_and_replays_idempotently(
     got2b = {r.doc_id: (r.dup_tier, r.dup_of)
              for r in spark.read.parquet(out).where("_batch_id = 2").collect()}
     assert got2b == got2
+
+
+def test_batch_processors_release_caches_per_batch(spark, tiny_images,
+                                                   tmp_path):
+    """ADVICE r4 (medium): foreachBatch runs every micro-batch on ONE
+    long-lived stream-execution thread, so unless the batch body itself
+    releases, persist_tracked frames accumulate unboundedly over a
+    continuous stream. Pin: after each processor invocation, the calling
+    thread's tracked registry is empty and the SQL cache manager is back
+    to its pre-batch size."""
+    from quadtree_block_compression_spark.functions.cache import (
+        release_caches, tracked_count)
+    from quadtree_block_compression_spark.operators.dedup_text import (
+        dedup_index_write)
+    from quadtree_block_compression_spark.streaming.ingest import (
+        make_batch_processor, make_dedup_batch_processor)
+
+    def cache_size():
+        return spark._jsparkSession.sharedState().cacheManager() \
+            .cachedData().size()
+
+    release_caches()
+    base = cache_size()
+
+    # image-ingest body (assign_tiles path)
+    proc = make_batch_processor(str(tmp_path / "blocks"),
+                                lineage_path=str(tmp_path / "lineage"))
+    proc(tiny_images.limit(3), 1)
+    assert tracked_count() == 0
+    assert cache_size() <= base
+
+    # near-dedup body (the classification pipeline persists several frames)
+    idx = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string")
+    dedup_index_write(corpus, idx, n=3, num_perm=8, bands=4)
+    dproc = make_dedup_batch_processor(idx, str(tmp_path / "out"),
+                                       n=3, num_perm=8, bands=4,
+                                       threshold=0.4)
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (11, "totally different words in this one right here now ok")],
+        "doc_id long, text string")
+    dproc(batch, 1)
+    assert tracked_count() == 0
+    assert cache_size() <= base
+    # a second batch also leaves nothing behind (the unbounded-growth case)
+    dproc(spark.createDataFrame(
+        [(20, "more novel sentences flowing through the second batch")],
+        "doc_id long, text string"), 2)
+    assert tracked_count() == 0
+    assert cache_size() <= base
