@@ -87,6 +87,51 @@ def test_subset_parser_matches_pyyaml_when_available():
         assert parse_yaml_subset(doc) == yaml.safe_load(doc)
 
 
+def test_subset_parser_property_vs_pyyaml():
+    """Property: over the subset grammar (nested mappings of scalars,
+    2-space indents, comments), parse_yaml_subset agrees with PyYAML on
+    arbitrary documents — not just the two known files."""
+    yaml = pytest.importorskip("yaml")
+    from hypothesis import given, settings, strategies as st
+
+    key = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,10}", fullmatch=True)
+    scalar = st.one_of(
+        st.integers(-10**6, 10**6),
+        st.floats(allow_nan=False, allow_infinity=False,
+                  min_value=-1e6, max_value=1e6).map(lambda f: round(f, 4)),
+        st.booleans(),
+        st.from_regex(r"[A-Za-z][A-Za-z0-9_ .-]{0,15}[A-Za-z0-9]",
+                      fullmatch=True))
+    trees = st.recursive(
+        st.dictionaries(key, scalar, min_size=1, max_size=4),
+        lambda kids: st.dictionaries(key, st.one_of(scalar, kids),
+                                     min_size=1, max_size=4),
+        max_leaves=12)
+
+    def render(d, indent=0):
+        out = []
+        for k, v in d.items():
+            pad = "  " * indent
+            if isinstance(v, dict):
+                out.append(f"{pad}{k}:")
+                out.extend(render(v, indent + 1))
+            elif isinstance(v, bool):
+                out.append(f"{pad}{k}: {'True' if v else 'False'}")
+            elif isinstance(v, str):
+                out.append(f"{pad}{k}: \"{v}\"")
+            else:
+                out.append(f"{pad}{k}: {v}")
+        return out
+
+    @settings(max_examples=150, deadline=None)
+    @given(trees)
+    def check(tree):
+        doc = "# generated\n" + "\n".join(render(tree)) + "\n"
+        assert parse_yaml_subset(doc) == yaml.safe_load(doc)
+
+    check()
+
+
 def test_yaml_knobs_reach_assign_tiles_and_write_archives(spark, tiny_images):
     """The parsed config must DRIVE the operators: a YAML-built config and
     the equivalent hand-built EngineConfig produce bit-identical blocks, the
