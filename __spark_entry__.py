@@ -873,6 +873,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("query_id", F.col("image_id").alias("point_id"),
                           F.round("distance", 6).alias("distance"), "rank")
 
+    def knn_corpus(spark, sf):
+        """kNN for EVERY corpus point — the training-pipeline shape that
+        motivated the r5 shuffle tier (VERDICT r4 #1): the query side is
+        the whole point set, kept distributed end to end (cell equi-joins,
+        anti-join-maintained pending set, nothing query-sized on the
+        driver). Oracle: brute-force |P|² SQL with the same
+        (distance, id) tie-break — the strict ring-termination bound makes
+        the ring result exactly the brute-force result, ties included."""
+        pts = _customer_points(spark, sf)
+        queries_df = pts.select(
+            F.concat(F.lit("c_"), F.col("image_id")).alias("query_id"),
+            F.col("wx").alias("x"), F.col("wy").alias("y"),
+            F.lit(3).alias("k"))
+        out = knn.knn_ring(pts, queries_df, res=_RES, max_ring=8,
+                           strategy="shuffle")
+        return out.select("query_id", F.col("image_id").alias("point_id"),
+                          F.round("distance", 6).alias("distance"), "rank")
+
     # ---------------- quadtree / pixel ops (rows-only checks) --------------
 
     def quadtree_tile_assign(spark, sf):
@@ -1197,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_distance_join": spatial_distance_join,
         "events_asof_join": events_asof_join,
         "knn_points": knn_points,
+        "knn_corpus": knn_corpus,
         "quadtree_tile_assign": quadtree_tile_assign,
         "quadtree_roundtrip": quadtree_roundtrip,
         "block_dedup_exact": block_dedup_exact,
@@ -2067,6 +2086,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, point_id, round(d, 6) AS distance,
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, point_id) AS INT) AS rank
             FROM cand QUALIFY rank <= 5
+        """,
+        "knn_corpus": f"""
+            -- brute-force reference for the shuffle-tier ring expansion
+            -- with the corpus itself as the query set (self-match at
+            -- distance 0 included, exactly like the engine)
+            WITH p AS ({_POINT_SQL}),
+            cand AS (
+              SELECT 'c_' || a.point_id AS query_id, b.point_id,
+                     sqrt((b.px - a.px) * (b.px - a.px)
+                          + (b.py - a.py) * (b.py - a.py)) AS d
+              FROM p a, p b)
+            SELECT query_id, point_id, round(d, 6) AS distance,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY d, point_id) AS INT) AS rank
+            FROM cand QUALIFY rank <= 3
         """,
         # ---- pixel path: DuckDB runs the downstream relational semantics
         # over the frozen kernel-output fixture (see _BLOCKS_GOLDEN note) ----

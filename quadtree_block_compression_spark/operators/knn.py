@@ -8,10 +8,11 @@ with Z-order cells):
 2. iteratively expand each *unsatisfied* query's candidate set with the
    cells at Chebyshev ring r = 0, 1, 2, … (an equi-join per ring on the cell
    key — a shuffle-free broadcast join while the query side is small);
-3. a query terminates when its kth-best distance so far is ≤ ``ring · c``
-   (cell width c): any point in shell ``ring+1`` or beyond lies ≥ ``ring · c``
-   away (Chebyshev shell R is ≥ (R−1)·c in Euclidean distance from anywhere
-   in the query's cell), so no unseen point can beat the current top-k;
+3. a query terminates when its kth-best distance so far is STRICTLY below
+   ``ring · c`` (cell width c): any point in shell ``ring+1`` or beyond lies
+   ≥ ``ring · c`` away (Chebyshev shell R is ≥ (R−1)·c in Euclidean distance
+   from anywhere in the query's cell), so no unseen point can beat — or,
+   because the bound is strict, even tie — the current top-k;
 4. exact Euclidean distance + ``row_number() ≤ k`` window top-k, ties broken
    deterministically by (distance, image_id, tile_id).
 
@@ -140,13 +141,20 @@ def knn_ring(points: DataFrame, queries: DataFrame,
                                + F.pow(F.col("wy") - F.col("y"), 2)).alias("distance")))
         gathered = cand if gathered is None else gathered.unionByName(cand)
         gathered = gathered.localCheckpoint(eager=True)  # bound plan growth
-        # kth-best distance per query so far; done ⇔ dk ≤ ring·c (no point in
-        # an unseen shell can beat the current top-k)
+        # kth-best distance per query so far; done ⇔ dk < ring·c STRICTLY:
+        # an unseen point beyond shell `ring` is ≥ ring·c away, so with
+        # dk < ring·c nothing unseen can beat OR TIE the current top-k. The
+        # non-strict bound admitted a tie hazard — integer-valued world
+        # coordinates make distance == ring·c realizable (e.g. dx=ring·c,
+        # dy=0 from a shell corner), and an unseen equal-distance point
+        # with a smaller id would deterministically displace rank k under
+        # the (distance, id) tie-break. Strict costs at most one extra
+        # ring for the measure-zero exact-equality queries.
         wq = Window.partitionBy("query_id").orderBy("distance", "image_id", "tile_id")
         done = (gathered.withColumn("_rn", F.row_number().over(wq))
                 .join(q.select("query_id", "k"), "query_id")
                 .filter((F.col("_rn") == F.col("k"))
-                        & (F.col("distance") <= F.lit(float(ring) * cell_width)))
+                        & (F.col("distance") < F.lit(float(ring) * cell_width)))
                 .select("query_id"))
         if use_broadcast:
             # sever pending's lineage: the query set is tiny by contract, so
