@@ -322,12 +322,63 @@ def ivf_write_index(emb: DataFrame, path: str, n_clusters: int | None = None,
         n_clusters = auto_n_clusters(emb.count())
     assigned, centroids = ivf_build(emb, k=n_clusters, iters=iters,
                                     vec_col=vec_col, id_col=id_col)
-    (assigned.repartition("cluster")
-     .write.mode("overwrite").partitionBy("cluster").parquet(path))
+    # _batch_id partitioning (base build = batch 0) makes APPENDS
+    # replay-idempotent: a retried ivf_append_index batch dynamic-overwrites
+    # its own (cluster, _batch_id) partitions instead of duplicating rows.
+    # cluster stays the leading partition column, so probe-side pruning
+    # (PartitionFilters on cluster — plan-audited) is unaffected.
+    import pyspark.sql.functions as _F
+    (assigned.withColumn("_batch_id", _F.lit(0))
+     .repartition("cluster")
+     .write.mode("overwrite").partitionBy("cluster", "_batch_id")
+     .parquet(path))
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump({"n_clusters": n_clusters, "iters": iters,
                    "centroids": centroids.tolist()}, f)
     return centroids
+
+
+def ivf_append_index(emb_new: DataFrame, path: str, batch_id: int,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> None:
+    """Append a batch to a materialized IVF index WITHOUT rebuilding — the
+    growing-corpus path (mirror of ``dedup_text.dedup_index_append``): new
+    vectors are assigned to the FROZEN coarse centroids (``_centroids.json``)
+    and written as their own ``(cluster, _batch_id)`` partitions with
+    dynamic partition overwrite, so a replayed batch (foreachBatch retry)
+    replaces itself instead of duplicating — idempotent at rest.
+
+    Standard IVF practice: the coarse quantizer only drifts when the data
+    distribution does; callers rebuild (``ivf_write_index``, which derives
+    ~√n lists from the grown size) when probe recall degrades. Appending
+    never touches existing partitions, so probes remain consistent
+    mid-append (parquet readers never see partial files thanks to the
+    per-partition commit)."""
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        meta = json.load(f)
+    cen = np.array(meta["centroids"], dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(v):  # type: ignore[misc]
+        import pandas as pd
+        M = np.stack(v.to_numpy())
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Mn @ cen.T, axis=1).astype("int32"))
+
+    (emb_new.select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+     .withColumn("cluster", assign("v"))
+     .withColumn("_batch_id", F.lit(int(batch_id)))
+     .repartition("cluster")
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("cluster", "_batch_id").parquet(path))
 
 
 def ivf_probe_index(spark, path: str, queries: DataFrame, k: int = 5,

@@ -209,6 +209,46 @@ def test_ivf_index_at_rest_matches_inline(spark, tmp_path):
         "cluster IN", "cluster") or "cluster" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_ivf_index_append_frozen_centroids_idempotent(spark, tmp_path):
+    """Growing-corpus IVF: appends assign against the FROZEN centroids and
+    land as their own (cluster, _batch_id) partitions — batch-split
+    invariant (two half-batches == one batch), replay-idempotent, and
+    appended vectors are immediately probe-visible."""
+    from quadtree_block_compression_spark.operators.ann import (
+        ivf_append_index, ivf_probe_index, ivf_write_index)
+    import pandas as pd
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(300, 16))
+    V[200] = V[10]  # planted duplicate arriving in a later batch
+    def mk(lo, hi):
+        return spark.createDataFrame(pd.DataFrame(
+            {"vec_id": range(lo, hi), "embedding": [v.tolist() for v in V[lo:hi]]}))
+    path_a, path_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (path_a, path_b):
+        ivf_write_index(mk(0, 150), p, n_clusters=8, iters=2)
+    # a: one append batch; b: the same rows split across two batches
+    ivf_append_index(mk(150, 300), path_a, batch_id=1)
+    ivf_append_index(mk(150, 225), path_b, batch_id=1)
+    ivf_append_index(mk(225, 300), path_b, batch_id=2)
+    # replay batch 1 on a (foreachBatch retry): no duplicates
+    ivf_append_index(mk(150, 300), path_a, batch_id=1)
+    rows_a = spark.read.parquet(path_a).select("vec_id", "cluster")
+    rows_b = spark.read.parquet(path_b).select("vec_id", "cluster")
+    assert rows_a.count() == 300
+    assert rows_a.groupBy("vec_id").count().where("count > 1").count() == 0
+    assert {tuple(r) for r in rows_a.collect()} == \
+        {tuple(r) for r in rows_b.collect()}
+    # probe sees appended vectors: vec 200 (== vec 10) tops a query at 10's
+    # embedding, and both indexes answer identically
+    q = mk(10, 11).select(F.col("vec_id").alias("q_id"),
+                          F.col("embedding").alias("q_vec"))
+    got_a = ivf_probe_index(spark, path_a, q, k=3, nprobe=3).collect()
+    got_b = ivf_probe_index(spark, path_b, q, k=3, nprobe=3).collect()
+    assert [(r.vec_id, r.cos, r.rank) for r in got_a] == \
+        [(r.vec_id, r.cos, r.rank) for r in got_b]
+    assert got_a[0].vec_id == 200 and got_a[0].cos == 1.0
+
+
 def test_ivf_auto_clusters_recall_two_sizes(spark):
     """VERDICT r4 #2: ``n_clusters=None`` derives ~√n lists
     (auto_n_clusters, mirroring auto_num_planes) so a probe touches
