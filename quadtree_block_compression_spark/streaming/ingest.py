@@ -128,3 +128,40 @@ def start_dedup_ingest(stream_docs: DataFrame, index_path: str,
             .option("checkpointLocation", checkpoint_path)
             .trigger(availableNow=True)
             .start())
+
+
+def make_embedding_batch_processor(index_path: str,
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id"):
+    """``foreachBatch`` body for streaming embedding ingest into a
+    materialized IVF index (:func:`~..operators.ann.ivf_write_index` at
+    rest): each micro-batch is assigned against the index's FROZEN coarse
+    centroids and appended as its own ``(cluster, _batch_id)`` partitions
+    via :func:`~..operators.ann.ivf_append_index` — dynamic overwrite means
+    a replayed batch replaces itself, so checkpoint + idempotent append =
+    exactly-once, the same contract as the image and dedup ingests."""
+    from ..operators.ann import ivf_append_index
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..functions.cache import release_caches
+        try:
+            ivf_append_index(batch_df, index_path, batch_id,
+                             vec_col=vec_col, id_col=id_col)
+        finally:
+            # same per-batch boundary as the other processors: nothing
+            # persists today, but the release keeps the invariant uniform
+            # if the append path ever grows a tracked cache
+            release_caches()
+
+    return process_batch
+
+
+def start_embedding_ingest(stream_emb: DataFrame, index_path: str,
+                           checkpoint_path: str, **kw):
+    """Start the streaming IVF-index ingest query (embeddings-table
+    schema). Returns the StreamingQuery (caller stops it)."""
+    return (stream_emb.writeStream
+            .foreachBatch(make_embedding_batch_processor(index_path, **kw))
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start())

@@ -125,6 +125,41 @@ def test_streaming_near_dedup_ingest_grows_index_and_replays_idempotently(
     assert got2b == got2
 
 
+def test_streaming_embedding_ingest_appends_ivf_index(spark, tmp_path):
+    """Streaming embeddings → IVF index at rest: batches land against the
+    frozen centroids and replaying a batch leaves the index unchanged.
+    Drives the foreachBatch body directly with explicit batch_ids (the
+    replay half a checkpointed stream cannot exercise on demand), like the
+    ingest-replay tests above."""
+    import numpy as np
+    import pandas as pd
+    from quadtree_block_compression_spark.operators.ann import (
+        ivf_probe_index, ivf_write_index)
+    from quadtree_block_compression_spark.streaming.ingest import (
+        make_embedding_batch_processor)
+
+    rng = np.random.default_rng(23)
+    V = rng.normal(size=(120, 16))
+    V[100] = V[5]  # planted duplicate arriving via the stream
+    def mk(lo, hi):
+        return spark.createDataFrame(pd.DataFrame(
+            {"vec_id": range(lo, hi),
+             "embedding": [v.tolist() for v in V[lo:hi]]}))
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(mk(0, 80), idx, n_clusters=6, iters=2)
+    proc = make_embedding_batch_processor(idx)
+    proc(mk(80, 100), 1)
+    proc(mk(100, 120), 2)
+    proc(mk(80, 100), 1)   # foreachBatch retry: replaces its own partitions
+    rows = spark.read.parquet(idx)
+    assert rows.count() == 120
+    assert rows.groupBy("vec_id").count().where("count > 1").count() == 0
+    q = mk(5, 6).select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec"))
+    top = ivf_probe_index(spark, idx, q, k=2, nprobe=3).collect()
+    assert top[0].vec_id == 100 and top[0].cos == 1.0
+
+
 def test_batch_processors_release_caches_per_batch(spark, tiny_images,
                                                    tmp_path):
     """ADVICE r4 (medium): foreachBatch runs every micro-batch on ONE
