@@ -111,10 +111,19 @@ def _propagate_labels(node_ids: DataFrame, edges: DataFrame,
     """Min-label propagation over symmetric ``edges`` (x, y): each node
     adopts the min label of its closed neighborhood per round. Returns the
     converged (x, label) frame, or None if ``max_iters`` rounds did not
-    reach the fixpoint (caller decides: raise or fall back)."""
-    labels = (node_ids
+    reach the fixpoint (caller decides: raise or fall back).
+
+    The loop runs over EDGE-TOUCHING nodes only — a node with no edge is
+    its own component and can never change label, so it joins the result
+    once at the end instead of riding through every round's join +
+    checkpoint. At corpus scale this is the difference between rounds ×
+    |near-dup subgraph| and rounds × |corpus| (most documents are not
+    near-duplicates of anything; r5)."""
+    touched = edges.select("x").distinct()
+    labels = (touched
               .withColumn("label", F.col("x"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iters):
         # min label among neighbors; closed neighborhood via the outer join
         nbr_min = (edges.join(labels.withColumnRenamed("x", "y"), "y")
@@ -128,8 +137,13 @@ def _propagate_labels(node_ids: DataFrame, edges: DataFrame,
                    .where(F.col("label") != F.col("old")).limit(1).count())
         labels = new
         if changed == 0:
-            return labels
-    return None
+            converged = True
+            break
+    if not converged:
+        return None
+    # singletons (no edges) re-enter as their own component
+    return (node_ids.join(labels, "x", "left")
+            .select("x", F.coalesce("label", "x").alias("label")))
 
 
 def _alternating_labels(node_ids: DataFrame, edges: DataFrame) -> DataFrame:
