@@ -95,3 +95,10 @@ def test_ngram_contamination_plan_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    # the corpus-sized-benchmark degradation path (plain equi-join) returns
+    # the identical result set
+    want = {tuple(r) for r in ngram_contamination(docs, bench, n=3).collect()}
+    got = {tuple(r) for r in
+           ngram_contamination(docs, bench, n=3,
+                               broadcast_benchmark=False).collect()}
+    assert got == want
