@@ -1140,6 +1140,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (docs,) = _tables(spark, sf, "documents")
         return repetition_features(docs)
 
+    def doc_chunks(spark, sf):
+        """Context-window packing: 32-token sliding chunks with 8 tokens of
+        overlap per document — one HOF projection + bounded explode, no
+        shuffle (text_analysis.chunk_documents)."""
+        from quadtree_block_compression_spark.operators.text_analysis import (
+            chunk_documents)
+        (docs,) = _tables(spark, sf, "documents")
+        return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
     def decontaminate_docs(spark, sf):
         """Benchmark decontamination: corpus docs sharing any word 8-gram
         with the benchmark set (deterministically, every 50th doc — a
@@ -1188,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": pii_redact_docs,
         "decontaminate": decontaminate_docs,
         "doc_repetition": doc_repetition,
+        "doc_chunks": doc_chunks,
         "token_counts": token_counts,
         "text_quality": text_quality,
         "lang_id": lang_id,
@@ -1718,6 +1728,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
                    CAST(coalesce(h.bench_doc, -1) AS BIGINT) AS bench_doc
             FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+        """,
+        "doc_chunks": r"""
+            -- sliding 32-token windows, stride 24 (overlap 8): window i
+            -- covers tokens [i*24+1 .. min(i*24+32, n)]; count =
+            -- ceil((n-8)/24) min 1 for non-blank docs, 0 for blank
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\s+') END
+                       AS toks
+              FROM documents),
+            c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            e AS (SELECT doc_id, toks, n,
+                         unnest(range(0, CASE WHEN n = 0 THEN 0
+                                              ELSE greatest(CAST(ceil((n - 8) / 24.0) AS BIGINT), 1)
+                                         END)) AS i
+                  FROM c)
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   CAST(least(32, n - i * 24) AS INT) AS chunk_n_tokens,
+                   array_to_string(toks[CAST(i * 24 + 1 AS BIGINT)
+                                        :CAST(least(i * 24 + 32, n) AS BIGINT)],
+                                   ' ') AS chunk_text
+            FROM e
         """,
         "doc_repetition": r"""
             -- same token array, same HOF shapes as the engine projection

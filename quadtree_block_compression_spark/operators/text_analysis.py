@@ -208,6 +208,57 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
         F.when(blank, F.lit(0.0)).otherwise(dup_bi).alias("dup_bigram_ratio"))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
+                    overlap: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Context-window packing: split each document into sliding
+    whitespace-token windows of ``chunk_tokens`` with ``overlap`` tokens of
+    context carried between neighbors — the chunking step that feeds
+    fixed-context training and embedding pipelines.
+
+    Chunk ``i`` covers tokens ``[i·stride, min(i·stride+chunk, n))`` with
+    ``stride = chunk_tokens − overlap``; the window count is
+    ``ceil((n − overlap)/stride)`` (min 1 for non-blank docs), which
+    guarantees every chunk contributes at least one token no earlier chunk
+    had. Blank documents yield no chunks.
+
+    One HOF projection + one explode per doc — no shuffle, no Python; the
+    explode fan-out is bounded by tokens/stride per row.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens "
+                         f"({chunk_tokens})")
+    from ..functions.parallelism import spread
+    docs = spread(docs)
+    stride = chunk_tokens - overlap
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_chunks = F.when(
+        n == 0, F.lit(0)
+    ).otherwise(F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+        F.lit(1)))
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens))
+            .alias("chunk_text")))
+    return (docs
+            .select(F.col(id_col), n.alias("_n"),
+                    F.explode(F.when(n_chunks > 0, windows)
+                              .otherwise(F.array().cast(
+                                  "array<struct<chunk_idx:int,"
+                                  "chunk_text:string>>"))).alias("c"))
+            .select(F.col(id_col),
+                    F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.least(F.lit(chunk_tokens),
+                            F.col("_n") - F.col("c.chunk_idx") * stride)
+                    .cast("int").alias("chunk_n_tokens"),
+                    F.col("c.chunk_text").alias("chunk_text")))
+
+
 def annotate(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
     """Fingerprint + quality + language in ONE whole-stage-codegen

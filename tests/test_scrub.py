@@ -86,6 +86,33 @@ def test_repetition_features_gopher_signals(spark):
     assert dict(repetition_features(df).dtypes)["n_words"] == "bigint"
 
 
+def test_chunk_documents_sliding_windows(spark):
+    from quadtree_block_compression_spark.operators.text_analysis import (
+        chunk_documents)
+    import pytest as _pytest
+    words = " ".join(f"w{i}" for i in range(10))        # 10 tokens
+    rows = [(1, words), (2, "a b c"), (3, "   "), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    # doc1: stride 3, ceil((10-1)/3)=3 chunks: [0..3],[3..6],[6..9] tokens
+    c1 = sorted(out[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [r.chunk_n_tokens for r in c1] == [4, 4, 4]
+    # every token appears; neighbors share exactly the 1-token overlap
+    assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+    # short doc: one whole-doc chunk
+    assert [(r.chunk_idx, r.chunk_n_tokens, r.chunk_text)
+            for r in out[2]] == [(0, 3, "a b c")]
+    # blank: no chunks; single token: one 1-token chunk
+    assert 3 not in out
+    assert [(r.chunk_idx, r.chunk_n_tokens) for r in out[4]] == [(0, 1)]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
 def test_ngram_contamination_plan_broadcasts_benchmark(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i} " + " ".join(f"t{i}_{j}" for j in range(10)))
