@@ -1149,6 +1149,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (docs,) = _tables(spark, sf, "documents")
         return chunk_documents(docs, chunk_tokens=32, overlap=8)
 
+    def text_embed_hashed(spark, sf):
+        """Feature-hashing (hashing-trick) text embeddings — the
+        vocabulary-free deterministic vectorizer bridging the text side to
+        the ANN tiers; portable-hash dims/signs so DuckDB reproduces the
+        vectors bit-for-bit. Output exploded to (doc_id, dim, val) rows —
+        scalar columns hash robustly across engines."""
+        from quadtree_block_compression_spark.operators.embed_text import (
+            hashed_embedding)
+        (docs,) = _tables(spark, sf, "documents")
+        emb = hashed_embedding(docs, dim=64)
+        return (emb.select("doc_id", F.posexplode("embedding")
+                           .alias("dim", "val"))
+                .select("doc_id", F.col("dim").cast("int").alias("dim"),
+                        "val"))
+
     def decontaminate_docs(spark, sf):
         """Benchmark decontamination: corpus docs sharing any word 8-gram
         with the benchmark set (deterministically, every 50th doc — a
@@ -1198,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate_docs,
         "doc_repetition": doc_repetition,
         "doc_chunks": doc_chunks,
+        "text_embed_hashed": text_embed_hashed,
         "token_counts": token_counts,
         "text_quality": text_quality,
         "lang_id": lang_id,
@@ -1728,6 +1744,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams,
                    CAST(coalesce(h.bench_doc, -1) AS BIGINT) AS bench_doc
             FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+        """,
+        "text_embed_hashed": f"""
+            -- identical hashing-trick arithmetic: dim = h mod 64, sign =
+            -- bit 6 of the portable hash; cell sums are exact small
+            -- integers so the norm (sum of exact integer squares) is
+            -- order-independent across engines
+            WITH toks AS (
+              SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents)
+              WHERE length(tok) > 0),
+            hs AS (SELECT doc_id, {portable_hash64_sql('tok')} AS h FROM toks),
+            cells AS (
+              SELECT doc_id, h % 64 AS d,
+                     sum(CASE WHEN ((h >> 6) & 1) = 0 THEN 1.0 ELSE -1.0 END)
+                       AS v
+              FROM hs GROUP BY 1, 2),
+            grid AS (SELECT doc_id, i
+                     FROM (SELECT DISTINCT doc_id FROM documents), range(0, 64) t(i)),
+            raw AS (SELECT g.doc_id, g.i, coalesce(c.v, 0.0) AS val
+                    FROM grid g LEFT JOIN cells c
+                      ON c.doc_id = g.doc_id AND c.d = g.i),
+            nrm AS (SELECT doc_id, greatest(sqrt(sum(val * val)), 1e-12) AS n
+                    FROM raw GROUP BY doc_id)
+            SELECT r.doc_id, CAST(r.i AS INT) AS dim,
+                   round(r.val / n.n, 6) AS val
+            FROM raw r JOIN nrm n USING (doc_id)
         """,
         "doc_chunks": r"""
             -- sliding 32-token windows, stride 24 (overlap 8): window i

@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "spatial_distance_join", "events_asof_join", "dedup_incremental",  # r4
     "corpus_weighted_sample", "events_funnel", "tile_pyramid_rollup",  # r4
     "corpus_clean_components", "ann_ivf_topk", "pii_redact", "decontaminate",  # r5
-    "doc_repetition", "knn_corpus", "doc_chunks",  # r5
+    "doc_repetition", "knn_corpus", "doc_chunks", "text_embed_hashed",  # r5
 ]
 
 

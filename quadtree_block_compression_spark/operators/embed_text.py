@@ -1,0 +1,56 @@
+"""Feature-hashing text embeddings — the hashing-trick bag-of-words vector.
+
+The bridge from the text side of the engine to the ANN side: a
+deterministic, vocabulary-free embedding (Weinberger et al., "Feature
+Hashing for Large Scale Multitask Learning", ICML'09) computed entirely
+with JVM expressions over the portable hash, so the DuckDB oracle produces
+bit-identical vectors. Each token lands in dimension ``hash(token) mod dim``
+with sign ``bit 6 of the hash`` (the standard signed hashing that makes the
+inner product an unbiased kernel estimate); the document vector is the
+signed token-count sum, L2-normalized.
+
+Not a learned embedding — it is the classical scale-out baseline the ANN
+tiers (:mod:`.ann`) can consume when no model-produced vectors exist, and
+the plumbing proof that corpus → embeddings → LSH/IVF runs end to end
+inside the engine. One explode + one (doc, dim) aggregate + one per-doc
+assembly aggregate: two shuffles total, independent of ``dim``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.portable_hash import portable_hash64
+
+
+def hashed_embedding(docs: DataFrame, dim: int = 64,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(``id_col``, embedding array<double>) — L2-normalized signed
+    hashing-trick vector; blank documents embed as the zero vector."""
+    t = F.trim(F.col(text_col))
+    toks = (docs.select(F.col(id_col), F.explode(F.split(t, r"\s+")).alias("tok"))
+            .where(F.length("tok") > 0))
+    h = portable_hash64(F.col("tok"))
+    sgn = F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 0,
+                 F.lit(1.0)).otherwise(F.lit(-1.0))
+    cells = (toks.select(id_col, F.pmod(h, F.lit(dim)).alias("d"), sgn.alias("s"))
+             .groupBy(id_col, "d").agg(F.sum("s").alias("v")))
+    assembled = (cells.groupBy(id_col)
+                 .agg(F.map_from_entries(
+                     F.collect_list(F.struct("d", "v"))).alias("m")))
+    # dense vector from the sparse (dim → sum) map; key type matches pmod's
+    raw = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                      lambda i: F.coalesce(F.col("m")[i.cast("long")],
+                                           F.lit(0.0)))
+    nrm = F.greatest(
+        F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x)),
+        F.lit(1e-12))
+    emb = F.transform(raw, lambda x: F.round(x / nrm, 6))
+    out = assembled.select(F.col(id_col), emb.alias("embedding"))
+    # blank/whitespace-only docs produced no tokens: re-enter as zero vectors
+    zeros = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda _: F.lit(0.0))
+    return (docs.select(id_col).join(out, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("embedding", zeros).alias("embedding")))

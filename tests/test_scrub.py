@@ -113,6 +113,36 @@ def test_chunk_documents_sliding_windows(spark):
         chunk_documents(df, chunk_tokens=4, overlap=4)
 
 
+def test_hashed_embedding_feeds_ann(spark):
+    """The hashing-trick embedder closes the text→embedding→ANN loop:
+    near-identical documents land near each other under cosine, blank docs
+    embed as zero vectors, and vectors are unit-norm."""
+    import numpy as np
+    from quadtree_block_compression_spark.operators.embed_text import (
+        hashed_embedding)
+    from quadtree_block_compression_spark.operators.ann import (
+        cosine_topk_bruteforce)
+    base = ("the quick brown fox jumps over the lazy dog while rivers flow "
+            "through quiet valleys carrying stories of distant mountains")
+    rows = [(0, base),
+            (1, base + " tonight"),                      # near-dup of 0
+            (2, "completely unrelated census tabulation of maritime "
+                "insurance premiums across nineteen provinces last winter"),
+            (3, "   ")]                                   # blank
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_embedding(docs, dim=64).cache()
+    vecs = {r.doc_id: np.array(r.embedding) for r in emb.collect()}
+    assert np.allclose(vecs[3], 0.0)
+    for d in (0, 1, 2):
+        assert abs(np.linalg.norm(vecs[d]) - 1.0) < 1e-4
+    q = (emb.where("doc_id = 0")
+         .select(F.col("doc_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    top = cosine_topk_bruteforce(emb, q, k=2, id_col="doc_id").collect()
+    assert top[0].doc_id == 1 and top[0].cos > 0.9   # near-dup found first
+    assert top[1].cos < 0.5                           # unrelated far behind
+
+
 def test_ngram_contamination_plan_broadcasts_benchmark(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i} " + " ".join(f"t{i}_{j}" for j in range(10)))
