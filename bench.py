@@ -90,6 +90,25 @@ def tile_assign_output_hash(spark, n_images: int) -> int:
     return int(row.s) ^ int(row.n)
 
 
+def spatial_pipeline_run(spark, n_images: int) -> tuple[float, int]:
+    """The BASELINE metric's OTHER half ("tile-assign + spatial-join
+    throughput"): the full raster→vector pipeline from the images scan —
+    tile assignment → block centroids + cell keys → broadcast PIP join
+    against 64 deterministic geometries — timed end to end. Returns
+    (seconds, matched rows)."""
+    from quadtree_block_compression_spark.fixtures.geometries import (
+        generate_geometries)
+    from quadtree_block_compression_spark.operators.spatial_join import (
+        block_centroids, spatial_join_broadcast)
+    from quadtree_block_compression_spark.operators.tiling import assign_tiles
+    images = spark.read.parquet(_bench_images_path(spark, n_images))
+    t0 = time.time()
+    pts = block_centroids(assign_tiles(images), res=8)
+    geoms = spark.createDataFrame(generate_geometries(n=64, seed=7))
+    n = spatial_join_broadcast(pts, geoms).count()
+    return time.time() - t0, n
+
+
 def _scale_worker(cores: int, n_scale: int, reps: int = 3,
                   with_hash: bool = True) -> None:
     """Subprocess body for one scaling measurement (run under taskset)."""
@@ -101,10 +120,27 @@ def _scale_worker(cores: int, n_scale: int, reps: int = 3,
         times.append(dt)
     dt = sorted(times)[len(times) // 2]  # median: the box shows VM jitter
     out_hash = tile_assign_output_hash(s, n_scale) if with_hash else None
+    # spatial half of the metric at n/4 images (the join stage repeats the
+    # tile assignment inside its plan, so the stage cost is ~2× a bare
+    # assign — n/4 keeps the per-level cost bounded without changing what
+    # scales: per-image Arrow work + a broadcast hash join). Warm the
+    # join/broadcast codepaths first: a fresh pinned subprocess pays ~6-8s
+    # of codegen + broadcast + shuffle init on the FIRST spatial plan,
+    # which a single cold shot misattributes to whichever level runs it
+    # (measured: cold 59.6s vs warm 52.7s at 4 cores, cold 23.0s vs warm
+    # 15.4s at 16 — the cold ratio reads 0.65 where the warm truth is 0.86)
+    spatial_pipeline_run(s, 1024)
+    sp_times = []
+    for _ in range(max(reps, 1)):
+        d, sp_n = spatial_pipeline_run(s, max(n_scale // 4, 1024))
+        sp_times.append(d)
+    sp_dt = sorted(sp_times)[len(sp_times) // 2]
     s.stop()
     print("SCALE_RESULT " + json.dumps(
         {"seconds": round(dt, 3), "blocks": nb,
-         "blocks_per_sec": round(nb / dt, 1), "output_hash": out_hash}))
+         "blocks_per_sec": round(nb / dt, 1), "output_hash": out_hash,
+         "spatial_seconds": round(sp_dt, 3), "spatial_matches": sp_n,
+         "spatial_rows_per_sec": round(sp_n / sp_dt, 1)}))
 
 
 _CONTROL_LOOP = ("x=1.0\nfor i in range(20000000):\n    x = x * 1.0000001 + 0.1\n"
@@ -216,6 +252,7 @@ def main() -> None:
             _bench_images_path(spark, 1024)
             n_scale = int(os.environ.get("QBCS_SCALE_IMAGES", "36864"))
             _bench_images_path(spark, n_scale)
+            _bench_images_path(spark, max(n_scale // 4, 1024))  # spatial stage
             spark.stop()
             # N→4N pair. Default 4→16: at full 32-core occupancy THIS HOST
             # slows every core ~1.4× (the pure-compute control below scales
@@ -259,6 +296,7 @@ def main() -> None:
             ref_hi = float(os.environ.get("QBCS_HEALTHY_HI_BLOCKS_PER_SEC",
                                           "140000"))
             pair_effs = []
+            spatial_pair_effs = []
             scale_report = {}
             i = 0
             while i < pairs:
@@ -273,19 +311,30 @@ def main() -> None:
                     rlo = _run_scale_level(lo, n_scale, reps=1, with_hash=False)
                 pair_effs.append(round(
                     (rhi["blocks_per_sec"] / rlo["blocks_per_sec"]) / 4.0, 3))
+                spatial_pair_effs.append(round(
+                    (rhi["spatial_rows_per_sec"]
+                     / rlo["spatial_rows_per_sec"]) / 4.0, 3))
                 if i == 0:
                     scale_report = {lo: rlo, hi: rhi}
                     if rhi["blocks_per_sec"] < 0.8 * ref_hi:
                         pairs = max_pairs
                 i += 1
             eff = sorted(pair_effs)[len(pair_effs) // 2]
+            sp_eff = sorted(spatial_pair_effs)[len(spatial_pair_effs) // 2]
             result["scaling"] = {
                 f"local{lo}": scale_report[lo], f"local{hi}": scale_report[hi],
                 "n_cores": lo, "n4_cores": hi,
                 "pair_efficiencies": pair_effs,
                 "efficiency_n_to_4n": eff,
+                # the metric's OTHER half: tile-assign + broadcast PIP join
+                # end to end (spatial_pipeline_run), same pair protocol
+                "spatial_pair_efficiencies": spatial_pair_effs,
+                "spatial_efficiency_n_to_4n": sp_eff,
                 "outputs_identical": scale_report[lo]["output_hash"]
                 == scale_report[hi]["output_hash"],
+                "spatial_matches_identical":
+                    scale_report[lo]["spatial_matches"]
+                    == scale_report[hi]["spatial_matches"],
                 "host_compute_control_eff": ctrl_eff,
                 "pairs_budget_extended": pairs > int(
                     os.environ.get("QBCS_SCALE_PAIRS", "3")),
