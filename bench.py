@@ -110,7 +110,7 @@ def spatial_pipeline_run(spark, n_images: int) -> tuple[float, int]:
 
 
 def _scale_worker(cores: int, n_scale: int, reps: int = 3,
-                  with_hash: bool = True) -> None:
+                  with_hash: bool = True, with_spatial: bool = True) -> None:
     """Subprocess body for one scaling measurement (run under taskset)."""
     s = _session(cores)
     tile_assign_run(s, 1024, cores)
@@ -129,18 +129,20 @@ def _scale_worker(cores: int, n_scale: int, reps: int = 3,
     # which a single cold shot misattributes to whichever level runs it
     # (measured: cold 59.6s vs warm 52.7s at 4 cores, cold 23.0s vs warm
     # 15.4s at 16 — the cold ratio reads 0.65 where the warm truth is 0.86)
-    spatial_pipeline_run(s, 1024)
-    sp_times = []
-    for _ in range(max(reps, 1)):
-        d, sp_n = spatial_pipeline_run(s, max(n_scale // 4, 1024))
-        sp_times.append(d)
-    sp_dt = sorted(sp_times)[len(sp_times) // 2]
+    out = {"seconds": round(dt, 3), "blocks": nb,
+           "blocks_per_sec": round(nb / dt, 1), "output_hash": out_hash}
+    if with_spatial:
+        spatial_pipeline_run(s, 1024)
+        sp_times = []
+        for _ in range(max(reps, 1)):
+            d, sp_n = spatial_pipeline_run(s, max(n_scale // 4, 1024))
+            sp_times.append(d)
+        sp_dt = sorted(sp_times)[len(sp_times) // 2]
+        out.update({"spatial_seconds": round(sp_dt, 3),
+                    "spatial_matches": sp_n,
+                    "spatial_rows_per_sec": round(sp_n / sp_dt, 1)})
     s.stop()
-    print("SCALE_RESULT " + json.dumps(
-        {"seconds": round(dt, 3), "blocks": nb,
-         "blocks_per_sec": round(nb / dt, 1), "output_hash": out_hash,
-         "spatial_seconds": round(sp_dt, 3), "spatial_matches": sp_n,
-         "spatial_rows_per_sec": round(sp_n / sp_dt, 1)}))
+    print("SCALE_RESULT " + json.dumps(out))
 
 
 _CONTROL_LOOP = ("x=1.0\nfor i in range(20000000):\n    x = x * 1.0000001 + 0.1\n"
@@ -170,7 +172,7 @@ def _run_control_level(cores: int) -> float:
 
 
 def _run_scale_level(cores: int, n_scale: int, reps: int = 3,
-                     with_hash: bool = True) -> dict:
+                     with_hash: bool = True, with_spatial: bool = True) -> dict:
     """Run one level in a CPU-pinned subprocess: local[N] must only see N
     CPUs (as an N-core executor would), else JVM/GC/python threads spill
     onto idle cores and inflate the small-N baseline."""
@@ -178,7 +180,7 @@ def _run_scale_level(cores: int, n_scale: int, reps: int = 3,
     import subprocess
     cmd = [sys.executable, os.path.abspath(__file__),
            "--scale-worker", str(cores), str(n_scale), str(reps),
-           str(int(with_hash))]
+           str(int(with_hash)), str(int(with_spatial))]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     res = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
@@ -194,7 +196,8 @@ def main() -> None:
     if "--scale-worker" in sys.argv:
         i = sys.argv.index("--scale-worker")
         _scale_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
-                      int(sys.argv[i + 3]), bool(int(sys.argv[i + 4])))
+                      int(sys.argv[i + 3]), bool(int(sys.argv[i + 4])),
+                      bool(int(sys.argv[i + 5])))
         return
 
     # scaling evidence is part of the default run (disable with --no-scaling
@@ -303,17 +306,26 @@ def main() -> None:
                 # ABBA ordering: odd pairs measure hi first, so a linear
                 # host-delivery drift biases consecutive pair ratios in
                 # OPPOSITE directions and the median cancels it
+                # the spatial half rides the first 3 pairs only: budget-
+                # extension pairs exist to re-sample the TILE statistic in a
+                # degraded window, and each spatial stage adds ~1 min/pair
+                w_sp = i < 3
                 if i % 2 == 0:
-                    rlo = _run_scale_level(lo, n_scale, reps=1, with_hash=(i == 0))
-                    rhi = _run_scale_level(hi, n_scale, reps=1, with_hash=(i == 0))
+                    rlo = _run_scale_level(lo, n_scale, reps=1,
+                                           with_hash=(i == 0), with_spatial=w_sp)
+                    rhi = _run_scale_level(hi, n_scale, reps=1,
+                                           with_hash=(i == 0), with_spatial=w_sp)
                 else:
-                    rhi = _run_scale_level(hi, n_scale, reps=1, with_hash=False)
-                    rlo = _run_scale_level(lo, n_scale, reps=1, with_hash=False)
+                    rhi = _run_scale_level(hi, n_scale, reps=1,
+                                           with_hash=False, with_spatial=w_sp)
+                    rlo = _run_scale_level(lo, n_scale, reps=1,
+                                           with_hash=False, with_spatial=w_sp)
                 pair_effs.append(round(
                     (rhi["blocks_per_sec"] / rlo["blocks_per_sec"]) / 4.0, 3))
-                spatial_pair_effs.append(round(
-                    (rhi["spatial_rows_per_sec"]
-                     / rlo["spatial_rows_per_sec"]) / 4.0, 3))
+                if w_sp:
+                    spatial_pair_effs.append(round(
+                        (rhi["spatial_rows_per_sec"]
+                         / rlo["spatial_rows_per_sec"]) / 4.0, 3))
                 if i == 0:
                     scale_report = {lo: rlo, hi: rhi}
                     if rhi["blocks_per_sec"] < 0.8 * ref_hi:
@@ -347,7 +359,8 @@ def main() -> None:
                 # median-of-3 inside the pinned worker: the single-sample
                 # figure swung 188k-267k between rounds (host window), which
                 # reads as a trend when it isn't (VERDICT r2 #8)
-                full = _run_scale_level(CPUS, n_scale, reps=3, with_hash=False)
+                full = _run_scale_level(CPUS, n_scale, reps=3, with_hash=False,
+                                        with_spatial=False)
                 result["scaling"][f"local{CPUS}_full_occupancy"] = full
                 result["blocks_per_sec_full_load"] = full["blocks_per_sec"]
             else:
