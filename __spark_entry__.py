@@ -502,6 +502,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("revenue"))
                 .orderBy(F.desc("revenue"), "o_orderkey").limit(10))
 
+    def q10_returned_revenue(spark, sf):
+        """TPC-H Q10 shape: per-customer revenue from RETURNED items — a
+        4-way join with a pushed selective filter on the fact side, a
+        customer-grain aggregate, and a deterministic top-20
+        (TakeOrderedAndProject, no window)."""
+        cust, orders, li, nation = _tables(
+            spark, sf, "customer", "orders", "lineitem", "nation")
+        return (cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+                .join(li.where(F.col("l_returnflag") == "R"),
+                      F.col("o_orderkey") == F.col("l_orderkey"))
+                .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+                .groupBy("c_custkey", "c_name", "n_name")
+                .agg(F.round(F.sum(F.col("l_extendedprice")
+                                   * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue"))
+                .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+    def q18_large_orders(spark, sf):
+        """TPC-H Q18 shape: large-volume orders — a HAVING-style aggregate
+        subquery (per-order quantity total > 300) semi-driving the join to
+        orders/customer, then a deterministic top-20."""
+        cust, orders, li = _tables(spark, sf, "customer", "orders", "lineitem")
+        big = (li.groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").alias("total_qty"))
+               .where(F.col("total_qty") > 300))
+        return (big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+                .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+                .select("c_custkey", "c_name", "o_orderkey",
+                        F.round("o_totalprice", 2).alias("o_totalprice"),
+                        F.round("total_qty", 2).alias("total_qty"))
+                .orderBy(F.desc("total_qty"), "o_orderkey").limit(20))
+
     def q5_local_supplier_volume(spark, sf):
         # TPC-H Q5 shape: 5-way join (region⋈nation⋈customer⋈orders⋈lineitem
         # ⋈supplier with colocation predicate), agg, sort — exercises join
@@ -1198,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_by_order": q3_revenue_by_order,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q18_large_orders": q18_large_orders,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
         "events_rollup": events_rollup,
@@ -1318,6 +1352,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+            SELECT c_custkey, c_name, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(total_qty, 2) AS total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey
+            LIMIT 20
         """,
         "q3_revenue_by_order": """
             SELECT o_orderkey,

@@ -27,6 +27,7 @@ SF = SF_DIR.rstrip("/").split("sf")[-1]
 
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_revenue_by_order", "q5_local_supplier_volume",
+    "q10_returned_revenue", "q18_large_orders",
     "q6_forecast_revenue", "topk_orders_per_customer",
     "events_tumbling", "events_sessionize", "events_json_stats", "events_rollup",
     "dedup_exact_docs", "fingerprint_docs", "token_counts", "text_quality",
