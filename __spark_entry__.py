@@ -473,7 +473,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from quadtree_block_compression_spark.operators import (
-        ann, dedup_blocks, dedup_text, knn, multimodal, sampling,
+        ann, dedup_blocks, dedup_text, knn, multimodal, raster, sampling,
         spatial_join, text_analysis, tiling)
     from quadtree_block_compression_spark.streaming import windows as stream_windows
 
@@ -859,6 +859,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tris = _nation_triangles(spark, sf)
         hits = spatial_join.spatial_join_broadcast(pts, tris)
         return hits.select(F.col("image_id").alias("point_id"), "geom_id")
+
+    def rasterize_rects(spark, sf):
+        """Vector→raster burn-in: each nation rect → the res-8 grid cells
+        whose CENTERS lie inside (exact-cover refinement of the bbox
+        polygon_cover). Two JVM sequence/explode projections bound the
+        fan-out to |geoms|·bbox-cells; the shared Arrow PIP kernel verifies
+        centers. Centers (multiples of 4096 plus 2048) can never sit on a
+        rect boundary (boundaries at X.5), so the center-in rule is
+        float-exact on both engines; the oracle replays the grid arithmetic
+        with the identical Morton packing as cell_assign's."""
+        rects = _nation_rects(spark, sf)
+        return raster.rasterize(rects, res=_RES)
+
+    def zonal_stats_rects(spark, sf):
+        """Raster→vector zonal statistics: per nation rect, exact-integer
+        aggregates (count/sum/min/max of the world coordinates) over the
+        customer points inside it — broadcast cell-prefiltered PIP join +
+        ONE map-side-combining aggregation; empty zones kept via a left
+        join from the dimension-sized geometry table, min/max coalesced to
+        the -1 sentinel on both engines (nullable BIGINT would widen to
+        float64 through pandas otherwise)."""
+        pts = _customer_points(spark, sf)
+        rects = _nation_rects(spark, sf)
+        return raster.zonal_stats(pts, rects)
 
     def spatial_distance_join(spark, sf):
         """All customer-point pairs within radius 20,000 (world 2^20): grid
@@ -1272,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_rects": spatial_join_rects,
         "spatial_join_salted_rects": spatial_join_salted_rects,
         "spatial_join_triangles": spatial_join_triangles,
+        "rasterize_rects": rasterize_rects,
+        "zonal_stats_rects": zonal_stats_rects,
         "spatial_distance_join": spatial_distance_join,
         "events_asof_join": events_asof_join,
         "knn_points": knn_points,
@@ -2207,6 +2233,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE (t.bx-t.ax)*(p.py-t.ay) - (t.by-t.ay)*(p.px-t.ax) > 0
               AND (t.cx-t.bx)*(p.py-t.by) - (t.cy-t.by)*(p.px-t.bx) > 0
               AND (t.ax-t.cx)*(p.py-t.cy) - (t.ay-t.cy)*(p.px-t.cx) > 0
+        """,
+        "rasterize_rects": f"""
+            -- vector→raster: res-8 grid (cell width 4096 = 2^20/2^8), the
+            -- cells whose CENTERS (ix*4096+2048) fall strictly inside each
+            -- rect; Morton packing identical to cell_assign's. Two staged
+            -- unnests (DuckDB zips same-SELECT unnests, so the cross
+            -- product needs two CTEs).
+            WITH r AS ({_RECT_SQL}),
+            b AS (SELECT geom_id, cx, cy, hw, hh,
+                         greatest(CAST(floor((cx - hw - 0.5) / 4096) AS BIGINT), 0) AS ix0,
+                         least(CAST(floor((cx + hw + 0.5) / 4096) AS BIGINT), 255) AS ix1,
+                         greatest(CAST(floor((cy - hh - 0.5) / 4096) AS BIGINT), 0) AS iy0,
+                         least(CAST(floor((cy + hh + 0.5) / 4096) AS BIGINT), 255) AS iy1
+                  FROM r
+                  WHERE greatest(CAST(floor((cx - hw - 0.5) / 4096) AS BIGINT), 0)
+                        <= least(CAST(floor((cx + hw + 0.5) / 4096) AS BIGINT), 255)
+                    AND greatest(CAST(floor((cy - hh - 0.5) / 4096) AS BIGINT), 0)
+                        <= least(CAST(floor((cy + hh + 0.5) / 4096) AS BIGINT), 255)),
+            gx AS (SELECT geom_id, cx, cy, hw, hh, iy0, iy1,
+                          unnest(range(ix0, ix1 + 1)) AS ix FROM b),
+            g AS (SELECT geom_id, cx, cy, hw, hh, ix,
+                         unnest(range(iy0, iy1 + 1)) AS iy FROM gx)
+            SELECT geom_id, CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy,
+                   {morton_sql} + CAST({_RES} AS BIGINT) * 288230376151711744 AS cell
+            FROM g
+            WHERE ix * 4096 + 2048 > cx - hw - 0.5 AND ix * 4096 + 2048 < cx + hw + 0.5
+              AND iy * 4096 + 2048 > cy - hh - 0.5 AND iy * 4096 + 2048 < cy + hh + 0.5
+        """,
+        "zonal_stats_rects": f"""
+            -- raster→vector zonal statistics: exact-integer aggregates per
+            -- rect over the contained customer points; LEFT JOIN keeps
+            -- empty zones; DuckDB sum(BIGINT) is HUGEINT → CAST BIGINT
+            -- (CLAUDE.md); min/max coalesce to -1 so no nullable column
+            -- widens to float64 through pandas.
+            WITH p AS ({_POINT_SQL}), r AS ({_RECT_SQL})
+            SELECT r.geom_id,
+                   CAST(count(p.px) AS BIGINT) AS n_points,
+                   CAST(coalesce(sum(CAST(p.px AS BIGINT)), 0) AS BIGINT) AS sum_wx,
+                   CAST(coalesce(sum(CAST(p.py AS BIGINT)), 0) AS BIGINT) AS sum_wy,
+                   CAST(coalesce(min(CAST(p.px AS BIGINT)), -1) AS BIGINT) AS min_wx,
+                   CAST(coalesce(max(CAST(p.px AS BIGINT)), -1) AS BIGINT) AS max_wx,
+                   CAST(coalesce(min(CAST(p.py AS BIGINT)), -1) AS BIGINT) AS min_wy,
+                   CAST(coalesce(max(CAST(p.py AS BIGINT)), -1) AS BIGINT) AS max_wy
+            FROM r LEFT JOIN p
+              ON p.px > r.cx - r.hw - 0.5 AND p.px < r.cx + r.hw + 0.5
+             AND p.py > r.cy - r.hh - 0.5 AND p.py < r.cy + r.hh + 0.5
+            GROUP BY r.geom_id
         """,
         "knn_points": f"""
             WITH p AS ({_POINT_SQL}),

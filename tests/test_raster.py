@@ -1,0 +1,133 @@
+"""Raster↔vector closure operators: rasterize + zonal_stats vs brute force.
+
+The graded queries (`rasterize_rects`, `zonal_stats_rects`) pin the
+rect-geometry path against DuckDB; these tests cover the general-polygon
+path (convex + concave star shapes) against a per-geometry numpy brute
+force over the same even-odd PIP kernel, plus the edge cases the oracle
+fixtures can't reach (out-of-world geometry, empty zones).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from quadtree_block_compression_spark.fixtures.geometries import generate_geometries
+from quadtree_block_compression_spark.kernels.geometry import (
+    WORLD, cell_from_grid, points_in_polygon)
+from quadtree_block_compression_spark.operators.raster import rasterize, zonal_stats
+from quadtree_block_compression_spark.operators.spatial_join import (
+    spatial_join_broadcast)
+
+RES = 6
+
+
+@pytest.fixture(scope="module")
+def geoms(spark):
+    return spark.createDataFrame(generate_geometries(n=24, seed=42, res=RES)).cache()
+
+
+def _bruteforce_cells(vx, vy, res):
+    """All (ix, iy) at ``res`` whose centers are inside the polygon —
+    straight numpy over the bbox grid, same even-odd kernel."""
+    n = 1 << res
+    cw = WORLD / n
+    ix0 = max(int(np.floor(min(vx) / cw)), 0)
+    ix1 = min(int(np.floor(max(vx) / cw)), n - 1)
+    iy0 = max(int(np.floor(min(vy) / cw)), 0)
+    iy1 = min(int(np.floor(max(vy) / cw)), n - 1)
+    if ix0 > ix1 or iy0 > iy1:
+        return set()
+    gx, gy = np.meshgrid(np.arange(ix0, ix1 + 1), np.arange(iy0, iy1 + 1),
+                         indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    inside = points_in_polygon((gx + 0.5) * cw, (gy + 0.5) * cw,
+                               np.asarray(vx), np.asarray(vy))
+    return {(int(x), int(y)) for x, y in zip(gx[inside], gy[inside])}
+
+
+def test_rasterize_matches_bruteforce(geoms):
+    got = rasterize(geoms, res=RES).collect()
+    by_geom: dict[str, set] = {}
+    for r in got:
+        by_geom.setdefault(r.geom_id, set()).add((r.ix, r.iy))
+    ref = {r["geom_id"]: _bruteforce_cells(r["vx"], r["vy"], RES)
+           for r in geoms.select("geom_id", "vx", "vy").toPandas().to_dict("records")}
+    nonempty = 0
+    for gid, want in ref.items():
+        assert by_geom.get(gid, set()) == want, gid
+        nonempty += bool(want)
+    assert nonempty >= 10  # the fixture must actually exercise the operator
+
+
+def test_rasterize_cell_key_matches_kernel(geoms):
+    rows = rasterize(geoms, res=RES).select("ix", "iy", "cell").collect()
+    assert rows
+    ix = np.array([r.ix for r in rows])
+    iy = np.array([r.iy for r in rows])
+    want = cell_from_grid(ix, iy, RES)
+    assert np.array_equal(np.array([r.cell for r in rows]), want)
+
+
+def test_rasterize_outside_world_is_empty(spark):
+    """A polygon entirely outside the world frame emits ZERO cells — the
+    clamped-bbox filter must catch it BEFORE sequence() (Spark generates a
+    DESCENDING range for start > stop, not an empty one)."""
+    off = float(WORLD * 2)
+    pdf = pd.DataFrame([{"geom_id": "out", "vx": [off, off + 9.0, off + 9.0, off],
+                         "vy": [off, off, off + 9.0, off + 9.0]}])
+    assert rasterize(spark.createDataFrame(pdf), res=RES).count() == 0
+
+
+def test_zonal_stats_matches_join(spark, geoms):
+    """zonal_stats == manual aggregation over the broadcast PIP join, and
+    geometries with no points survive with the documented sentinels."""
+    from quadtree_block_compression_spark.kernels.geometry import polygon_cover
+
+    # guarantee an empty zone: a sub-unit sliver between integer points can
+    # never contain an integer-valued test point
+    sx = np.array([10.25, 10.75, 10.75, 10.25])
+    sy = np.array([10.25, 10.25, 10.75, 10.75])
+    sliver = pd.DataFrame([{"geom_id": "zz_empty", "kind": "rect",
+                            "vx": sx.tolist(), "vy": sy.tolist(),
+                            "cell_keys": polygon_cover(sx, sy, RES).tolist(),
+                            "is_hot": False}])
+    geoms = geoms.unionByName(spark.createDataFrame(sliver))
+    rng = np.random.default_rng(7)
+    n = 4000
+    pts = spark.createDataFrame(pd.DataFrame({
+        "image_id": [f"p{i}" for i in range(n)],
+        "tile_id": [""] * n,
+        "wx": rng.integers(0, WORLD, n).astype(float),
+        "wy": rng.integers(0, WORLD, n).astype(float),
+    }))
+    from quadtree_block_compression_spark.operators.spatial_join import (
+        block_centroids)  # noqa: F401  (shape doc only)
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cell_of(wx, wy):  # type: ignore[misc]
+        from quadtree_block_compression_spark.kernels.geometry import cell_encode
+        return pd.Series(cell_encode(wx.to_numpy(float), wy.to_numpy(float), RES))
+
+    pts = pts.withColumn("cell", cell_of("wx", "wy")).cache()
+
+    got = {r.geom_id: r.asDict() for r in zonal_stats(pts, geoms).collect()}
+    assert set(got) == {r.geom_id for r in geoms.select("geom_id").collect()}
+
+    hits = spatial_join_broadcast(pts, geoms).toPandas()
+    for gid, row in got.items():
+        sub = hits[hits.geom_id == gid]
+        assert row["n_points"] == len(sub)
+        if len(sub) == 0:
+            assert (row["sum_wx"], row["min_wx"], row["max_wy"]) == (0, -1, -1)
+        else:
+            assert row["sum_wx"] == int(sub.wx.sum())
+            assert row["sum_wy"] == int(sub.wy.sum())
+            assert row["min_wx"] == int(sub.wx.min())
+            assert row["max_wx"] == int(sub.wx.max())
+            assert row["min_wy"] == int(sub.wy.min())
+            assert row["max_wy"] == int(sub.wy.max())
+    # the mixed fixture sizes guarantee both populated and empty zones
+    assert any(r["n_points"] == 0 for r in got.values())
+    assert any(r["n_points"] > 0 for r in got.values())
