@@ -884,6 +884,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rects = _nation_rects(spark, sf)
         return raster.zonal_stats(pts, rects)
 
+    def rect_overlap_join(spark, sf):
+        """Distributed strict-AABB overlap join — RectanglesCollide
+        (comparisonUtils.go:115-120) at table scale: customer rects
+        (integer bounds) × nation rects (the PIP fixtures' half-integer
+        bounds, so no boundary ever coincides), grid-bucketed with
+        reference-point exactly-once emission (no distinct shuffle).
+        inter_area_x4 is an exact BIGINT on both engines (quarter-unit
+        products are float-exact at these magnitudes)."""
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        ck = F.col("c_custkey").cast("long")
+        cxa = (ck * _PX % _W).cast("double")
+        cya = (ck * _PY % _W).cast("double")
+        hwa = (F.lit(2000) + (ck % 5) * 1000).cast("double")
+        hha = (F.lit(3000) + (ck % 7) * 1000).cast("double")
+        a = cust.select(ck.cast("string").alias("id"),
+                        (cxa - hwa).alias("x0"), (cya - hha).alias("y0"),
+                        (cxa + hwa).alias("x1"), (cya + hha).alias("y1"))
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        nk = F.col("n_nationkey").cast("long")
+        cxb = ((nk * _PX * 7919 + 12345) % _W).cast("double")
+        cyb = ((nk * _PY * 104729 + 54321) % _W).cast("double")
+        hwb = (F.lit(30000) + (nk % 7) * 20000).cast("double") + F.lit(0.5)
+        hhb = (F.lit(30000) + (nk % 5) * 25000).cast("double") + F.lit(0.5)
+        b = nat.select(
+            F.concat(F.lit("poly_"), F.lpad(nk.cast("string"), 5, "0")).alias("id"),
+            (cxb - hwb).alias("x0"), (cyb - hhb).alias("y0"),
+            (cxb + hwb).alias("x1"), (cyb + hhb).alias("y1"))
+        return spatial_join.overlap_join(a, b, res=_RES)
+
     def spatial_distance_join(spark, sf):
         """All customer-point pairs within radius 20,000 (world 2^20): grid
         cells of side r, 3×3-neighborhood equi-join on the two grid
@@ -1298,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_triangles": spatial_join_triangles,
         "rasterize_rects": rasterize_rects,
         "zonal_stats_rects": zonal_stats_rects,
+        "rect_overlap_join": rect_overlap_join,
         "spatial_distance_join": spatial_distance_join,
         "events_asof_join": events_asof_join,
         "knn_points": knn_points,
@@ -2260,6 +2290,35 @@ def oracle_sql() -> dict[str, str]:
             FROM g
             WHERE ix * 4096 + 2048 > cx - hw - 0.5 AND ix * 4096 + 2048 < cx + hw + 0.5
               AND iy * 4096 + 2048 > cy - hh - 0.5 AND iy * 4096 + 2048 < cy + hh + 0.5
+        """,
+        "rect_overlap_join": f"""
+            -- strict-AABB overlap join (RectanglesCollide semantics:
+            -- touching edges do NOT collide); customer bounds are integer,
+            -- nation bounds half-integer, so no boundary coincidence can
+            -- probe the strict-vs-nonstrict seam. inter_area_x4 = 4× the
+            -- intersection area, exactly integer at these magnitudes.
+            WITH a AS (
+              SELECT CAST(c_custkey AS VARCHAR) AS rect_a,
+                     CAST((c_custkey * {_PX}) % {_W}
+                          - (2000 + (c_custkey % 5) * 1000) AS DOUBLE) AS ax0,
+                     CAST((c_custkey * {_PY}) % {_W}
+                          - (3000 + (c_custkey % 7) * 1000) AS DOUBLE) AS ay0,
+                     CAST((c_custkey * {_PX}) % {_W}
+                          + (2000 + (c_custkey % 5) * 1000) AS DOUBLE) AS ax1,
+                     CAST((c_custkey * {_PY}) % {_W}
+                          + (3000 + (c_custkey % 7) * 1000) AS DOUBLE) AS ay1
+              FROM customer),
+            b AS (
+              SELECT geom_id AS rect_b,
+                     cx - hw - 0.5 AS bx0, cy - hh - 0.5 AS by0,
+                     cx + hw + 0.5 AS bx1, cy + hh + 0.5 AS by1
+              FROM ({_RECT_SQL}))
+            SELECT rect_a, rect_b,
+                   CAST((least(ax1, bx1) - greatest(ax0, bx0))
+                        * (least(ay1, by1) - greatest(ay0, by0)) * 4
+                        AS BIGINT) AS inter_area_x4
+            FROM a JOIN b
+              ON ax0 < bx1 AND ax1 > bx0 AND ay0 < by1 AND ay1 > by0
         """,
         "zonal_stats_rects": f"""
             -- raster→vector zonal statistics: exact-integer aggregates per

@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "corpus_weighted_sample", "events_funnel", "tile_pyramid_rollup",  # r4
     "corpus_clean_components", "ann_ivf_topk", "pii_redact", "decontaminate",  # r5
     "doc_repetition", "knn_corpus", "doc_chunks", "text_embed_hashed",  # r5
-    "rasterize_rects", "zonal_stats_rects",  # r5 raster↔vector closure
+    "rasterize_rects", "zonal_stats_rects", "rect_overlap_join",  # r5 spatial
 ]
 
 

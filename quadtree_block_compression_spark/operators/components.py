@@ -128,14 +128,18 @@ def _propagate_labels(node_ids: DataFrame, edges: DataFrame,
         # min label among neighbors; closed neighborhood via the outer join
         nbr_min = (edges.join(labels.withColumnRenamed("x", "y"), "y")
                    .groupBy("x").agg(F.min("label").alias("nbr_label")))
-        new = (labels.join(nbr_min, "x", "left")
-               .select("x", F.least(F.col("label"),
-                                    F.coalesce("nbr_label", "label"))
-                       .alias("label"))
-               .localCheckpoint(eager=True))  # bound plan growth per round
-        changed = (new.join(labels.withColumnRenamed("label", "old"), "x")
-                   .where(F.col("label") != F.col("old")).limit(1).count())
-        labels = new
+        # the old label rides the same projection into the checkpoint, so
+        # convergence detection is a cheap scan of checkpointed rows — NOT
+        # a third shuffle join per round (labels ⋈ new) as it was pre-r5
+        stepped = (labels.join(nbr_min, "x", "left")
+                   .select("x", F.col("label").alias("_old"),
+                           F.least(F.col("label"),
+                                   F.coalesce("nbr_label", "label"))
+                           .alias("label"))
+                   .localCheckpoint(eager=True))  # bound plan growth per round
+        changed = (stepped.where(F.col("label") != F.col("_old"))
+                   .limit(1).count())
+        labels = stepped.select("x", "label")
         if changed == 0:
             converged = True
             break

@@ -29,7 +29,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.pandas.functions import pandas_udf
 
 from ..config import EngineConfig, DEFAULT_CONFIG
-from ..kernels.geometry import WORLD
+from ..kernels.geometry import MAX_RES, WORLD
 
 # images tile into a GRID×GRID mosaic of the world frame: image i occupies
 # world cell (i % GRID, i // GRID % GRID), scaled so one padded canvas maps
@@ -164,6 +164,75 @@ def spatial_join_salted(points: DataFrame, geoms: DataFrame,
     out_cols = ["image_id", "tile_id", "geom_id", "wx", "wy"]
     return (cold_hits.select(out_cols).unionByName(hot_hits.select(out_cols))
             .dropDuplicates(["image_id", "tile_id", "geom_id"]))
+
+
+def overlap_join(rects_a: DataFrame, rects_b: DataFrame, res: int,
+                 out_a: str = "rect_a", out_b: str = "rect_b") -> DataFrame:
+    """Distributed strict-AABB overlap join — the reference's
+    ``RectanglesCollide`` predicate (``pkg/utils/comparisonUtils.go:115-120``,
+    touching edges do NOT collide) lifted from a per-pair call to a
+    grid-bucketed table join.
+
+    Inputs: two rect tables shaped (id, x0, y0, x1, y1) in world
+    coordinates. Plan: each side explodes to its bbox covering cells at
+    ``res`` (JVM ``sequence``/``explode``, fan-out = rows · cells-per-rect),
+    candidates meet through a (ix, iy) equi-join, and the exact
+    strict-inequality predicate verifies JVM-side — no UDF anywhere.
+
+    Exactly-once emission with NO distinct/dropDuplicates shuffle: a pair
+    overlapping k shared cells would surface k times, so rows are kept only
+    at the pair's REFERENCE POINT — the min-corner cell of the bbox
+    intersection, ``floor(max(x0s)/cw)`` (the standard reference-point rule
+    of grid spatial joins, e.g. SpatialHadoop/SJMR). Both covers always
+    contain that cell (clamped identically at world edges), so each
+    overlapping pair appears exactly once.
+
+    Returns (``out_a``, ``out_b``, inter_area_x4): 4× the intersection
+    area as an EXACT BIGINT (with integer- or half-integer-valued bounds
+    the quarter-unit products are float-exact, so both engines hash
+    identically with no rounding).
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution out of range: {res}")
+    n = 1 << res
+    cw = float(WORLD) / n
+    from ..functions.parallelism import spread
+
+    def cover(df: DataFrame, tag: str) -> DataFrame:
+        c = spread(df).select(
+            F.col("id").alias(f"{tag}_id"),
+            F.col("x0").alias(f"{tag}x0"), F.col("y0").alias(f"{tag}y0"),
+            F.col("x1").alias(f"{tag}x1"), F.col("y1").alias(f"{tag}y1"))
+        return (c
+                .withColumn("_ix0", F.greatest(
+                    F.floor(F.col(f"{tag}x0") / F.lit(cw)).cast("int"), F.lit(0)))
+                .withColumn("_ix1", F.least(
+                    F.floor(F.col(f"{tag}x1") / F.lit(cw)).cast("int"), F.lit(n - 1)))
+                .withColumn("_iy0", F.greatest(
+                    F.floor(F.col(f"{tag}y0") / F.lit(cw)).cast("int"), F.lit(0)))
+                .withColumn("_iy1", F.least(
+                    F.floor(F.col(f"{tag}y1") / F.lit(cw)).cast("int"), F.lit(n - 1)))
+                .where((F.col("_ix0") <= F.col("_ix1"))
+                       & (F.col("_iy0") <= F.col("_iy1")))
+                .withColumn("ix", F.explode(F.sequence("_ix0", "_ix1")))
+                .withColumn("iy", F.explode(F.sequence("_iy0", "_iy1")))
+                .drop("_ix0", "_ix1", "_iy0", "_iy1"))
+
+    a, b = cover(rects_a, "a"), cover(rects_b, "b")
+    ref_ix = F.greatest(F.lit(0), F.least(
+        F.lit(n - 1),
+        F.floor(F.greatest("ax0", "bx0") / F.lit(cw)).cast("int")))
+    ref_iy = F.greatest(F.lit(0), F.least(
+        F.lit(n - 1),
+        F.floor(F.greatest("ay0", "by0") / F.lit(cw)).cast("int")))
+    iw = F.least("ax1", "bx1") - F.greatest("ax0", "bx0")
+    ih = F.least("ay1", "by1") - F.greatest("ay0", "by0")
+    return (a.join(b, ["ix", "iy"])
+            .where((F.col("ax0") < F.col("bx1")) & (F.col("ax1") > F.col("bx0"))
+                   & (F.col("ay0") < F.col("by1")) & (F.col("ay1") > F.col("by0")))
+            .where((F.col("ix") == ref_ix) & (F.col("iy") == ref_iy))
+            .select(F.col("a_id").alias(out_a), F.col("b_id").alias(out_b),
+                    (iw * ih * F.lit(4.0)).cast("long").alias("inter_area_x4")))
 
 
 def distance_join(points: DataFrame, radius: float,

@@ -131,3 +131,56 @@ def test_zonal_stats_matches_join(spark, geoms):
     # the mixed fixture sizes guarantee both populated and empty zones
     assert any(r["n_points"] == 0 for r in got.values())
     assert any(r["n_points"] > 0 for r in got.values())
+
+
+# ------------------------------------------------------- overlap join ------
+
+
+def test_overlap_join_matches_bruteforce(spark):
+    """Grid-bucketed strict-AABB overlap join == O(n·m) numpy brute force,
+    including (a) EXACTLY-touching rects, which must NOT collide
+    (RectanglesCollide strict semantics), and (b) pairs sharing many grid
+    cells, which must surface exactly once (reference-point rule)."""
+    from quadtree_block_compression_spark.operators.spatial_join import (
+        overlap_join)
+
+    rng = np.random.default_rng(3)
+    na, nb = 250, 150
+
+    def mk(n, prefix):
+        x0 = rng.integers(0, WORLD - 400_000, n).astype(float)
+        y0 = rng.integers(0, WORLD - 400_000, n).astype(float)
+        w = rng.integers(1, 350_000, n).astype(float)  # many-cell spans
+        h = rng.integers(1, 350_000, n).astype(float)
+        return pd.DataFrame({"id": [f"{prefix}{i}" for i in range(n)],
+                             "x0": x0, "y0": y0, "x1": x0 + w, "y1": y0 + h})
+
+    a, b = mk(na, "a"), mk(nb, "b")
+    # plant exact-touch pairs: b's first rows start exactly at a's right edge
+    for i in range(5):
+        b.loc[i, ["x0", "y0"]] = [a.x1[i], a.y0[i]]
+        b.loc[i, ["x1", "y1"]] = [a.x1[i] + 50_000, a.y0[i] + 50_000]
+
+    got = overlap_join(spark.createDataFrame(a), spark.createDataFrame(b),
+                       res=6).collect()
+    pairs = [(r.rect_a, r.rect_b) for r in got]
+    assert len(pairs) == len(set(pairs))  # reference-point rule: no dups
+
+    ax0, ay0, ax1, ay1 = (a[c].to_numpy() for c in ("x0", "y0", "x1", "y1"))
+    bx0, by0, bx1, by1 = (b[c].to_numpy() for c in ("x0", "y0", "x1", "y1"))
+    hit = ((ax0[:, None] < bx1[None, :]) & (ax1[:, None] > bx0[None, :])
+           & (ay0[:, None] < by1[None, :]) & (ay1[:, None] > by0[None, :]))
+    want = {(f"a{i}", f"b{j}") for i, j in zip(*np.nonzero(hit))}
+    assert set(pairs) == want
+    assert len(want) > 50  # the fixture must exercise real overlap volume
+    # planted touch pairs excluded by strictness
+    for i in range(5):
+        assert (f"a{i}", f"b{i}") not in set(pairs) or a.x1[i] != b.x0[i]
+
+    # exact intersection areas
+    area = {(r.rect_a, r.rect_b): r.inter_area_x4 for r in got}
+    for (ai, bj) in list(want)[:200]:
+        i, j = int(ai[1:]), int(bj[1:])
+        iw = min(ax1[i], bx1[j]) - max(ax0[i], bx0[j])
+        ih = min(ay1[i], by1[j]) - max(ay0[i], by0[j])
+        assert area[(ai, bj)] == int(iw * ih * 4)
