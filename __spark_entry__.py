@@ -884,6 +884,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rects = _nation_rects(spark, sf)
         return raster.zonal_stats(pts, rects)
 
+    def compact_cover_rects(spark, sf):
+        """Minimal quadtree cover (H3 `compact` on the Z-order grid): the
+        rasterized nation rects compacted bottom-up — every complete
+        4-sibling set replaced by its parent, res rounds of (parent
+        aggregate + anti-join) on a strictly shrinking frame. The uniform-
+        region-as-one-coarse-block idea IS the reference's quadtree leaf
+        rule, re-expressed relationally. Oracle: the identical rounds
+        unrolled as chained CTEs (DuckDB ANTI JOIN per level)."""
+        rects = _nation_rects(spark, sf)
+        cells = raster.rasterize(rects, res=_RES)
+        return raster.compact_cells(cells, res=_RES)
+
     def rect_overlap_join(spark, sf):
         """Distributed strict-AABB overlap join — RectanglesCollide
         (comparisonUtils.go:115-120) at table scale: customer rects
@@ -1327,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_triangles": spatial_join_triangles,
         "rasterize_rects": rasterize_rects,
         "zonal_stats_rects": zonal_stats_rects,
+        "compact_cover_rects": compact_cover_rects,
         "rect_overlap_join": rect_overlap_join,
         "spatial_distance_join": spatial_distance_join,
         "events_asof_join": events_asof_join,
@@ -1390,6 +1403,58 @@ def oracle_sql() -> dict[str, str]:
     morton_sql = ("(SELECT CAST(sum(((ix >> i.i) & 1)::BIGINT * power(2, 2*i.i)::BIGINT "
                   "+ ((iy >> i.i) & 1)::BIGINT * power(2, 2*i.i+1)::BIGINT) AS BIGINT) "
                   "FROM range(8) i(i))")
+
+    # (geom_id, ix, iy) of the res-8 cells whose centers lie inside each
+    # nation rect — shared by the rasterize_rects and compact_cover_rects
+    # oracles (cell width 4096 = 2^20/2^8; centers ix*4096+2048 can never
+    # sit on the half-integer rect boundaries)
+    raster_cells_sql = f"""
+        WITH rr AS ({_RECT_SQL}),
+        bb AS (SELECT geom_id, cx, cy, hw, hh,
+                      greatest(CAST(floor((cx - hw - 0.5) / 4096) AS BIGINT), 0) AS ix0,
+                      least(CAST(floor((cx + hw + 0.5) / 4096) AS BIGINT), 255) AS ix1,
+                      greatest(CAST(floor((cy - hh - 0.5) / 4096) AS BIGINT), 0) AS iy0,
+                      least(CAST(floor((cy + hh + 0.5) / 4096) AS BIGINT), 255) AS iy1
+               FROM rr
+               WHERE greatest(CAST(floor((cx - hw - 0.5) / 4096) AS BIGINT), 0)
+                     <= least(CAST(floor((cx + hw + 0.5) / 4096) AS BIGINT), 255)
+                 AND greatest(CAST(floor((cy - hh - 0.5) / 4096) AS BIGINT), 0)
+                     <= least(CAST(floor((cy + hh + 0.5) / 4096) AS BIGINT), 255)),
+        ggx AS (SELECT geom_id, cx, cy, hw, hh, iy0, iy1,
+                       unnest(range(ix0, ix1 + 1)) AS ix FROM bb),
+        gg AS (SELECT geom_id, cx, cy, hw, hh, ix,
+                      unnest(range(iy0, iy1 + 1)) AS iy FROM ggx)
+        SELECT geom_id, ix, iy
+        FROM gg
+        WHERE ix * 4096 + 2048 > cx - hw - 0.5 AND ix * 4096 + 2048 < cx + hw + 0.5
+          AND iy * 4096 + 2048 > cy - hh - 0.5 AND iy * 4096 + 2048 < cy + hh + 0.5
+    """
+
+    # compact_cells unrolled: res rounds of (complete-sibling aggregate →
+    # promote parents, anti-join out their children), identical to the
+    # engine's loop
+    _cc_parts = [f"cur{_RES} AS (SELECT DISTINCT geom_id, ix, iy "
+                 f"FROM ({raster_cells_sql}))"]
+    _cc_sels = []
+    for _r in range(_RES, 0, -1):
+        _cc_parts.append(
+            f"full{_r} AS (SELECT geom_id, "
+            f"CAST(floor(ix / 2) AS BIGINT) AS pix, "
+            f"CAST(floor(iy / 2) AS BIGINT) AS piy "
+            f"FROM cur{_r} GROUP BY 1, 2, 3 HAVING count(*) = 4)")
+        _cc_parts.append(
+            f"kept{_r} AS (SELECT c.geom_id, {_r} AS res, c.ix, c.iy "
+            f"FROM cur{_r} c ANTI JOIN full{_r} f "
+            f"ON f.geom_id = c.geom_id "
+            f"AND f.pix = CAST(floor(c.ix / 2) AS BIGINT) "
+            f"AND f.piy = CAST(floor(c.iy / 2) AS BIGINT))")
+        _cc_parts.append(
+            f"cur{_r - 1} AS (SELECT geom_id, pix AS ix, piy AS iy "
+            f"FROM full{_r})")
+        _cc_sels.append(f"SELECT * FROM kept{_r}")
+    _cc_sels.append("SELECT geom_id, 0 AS res, ix, iy FROM cur0")
+    compact_rounds_sql = ",\n".join(_cc_parts)
+    compact_union_sql = " UNION ALL ".join(_cc_sels)
 
     simhash_bits_sql = " + ".join(
         f"(CASE WHEN sum(((h >> {i}) & 1) * 2 - 1) > 0 THEN CAST({1 << i} AS BIGINT) "
@@ -2268,28 +2333,25 @@ def oracle_sql() -> dict[str, str]:
             -- vector→raster: res-8 grid (cell width 4096 = 2^20/2^8), the
             -- cells whose CENTERS (ix*4096+2048) fall strictly inside each
             -- rect; Morton packing identical to cell_assign's. Two staged
-            -- unnests (DuckDB zips same-SELECT unnests, so the cross
-            -- product needs two CTEs).
-            WITH r AS ({_RECT_SQL}),
-            b AS (SELECT geom_id, cx, cy, hw, hh,
-                         greatest(CAST(floor((cx - hw - 0.5) / 4096) AS BIGINT), 0) AS ix0,
-                         least(CAST(floor((cx + hw + 0.5) / 4096) AS BIGINT), 255) AS ix1,
-                         greatest(CAST(floor((cy - hh - 0.5) / 4096) AS BIGINT), 0) AS iy0,
-                         least(CAST(floor((cy + hh + 0.5) / 4096) AS BIGINT), 255) AS iy1
-                  FROM r
-                  WHERE greatest(CAST(floor((cx - hw - 0.5) / 4096) AS BIGINT), 0)
-                        <= least(CAST(floor((cx + hw + 0.5) / 4096) AS BIGINT), 255)
-                    AND greatest(CAST(floor((cy - hh - 0.5) / 4096) AS BIGINT), 0)
-                        <= least(CAST(floor((cy + hh + 0.5) / 4096) AS BIGINT), 255)),
-            gx AS (SELECT geom_id, cx, cy, hw, hh, iy0, iy1,
-                          unnest(range(ix0, ix1 + 1)) AS ix FROM b),
-            g AS (SELECT geom_id, cx, cy, hw, hh, ix,
-                         unnest(range(iy0, iy1 + 1)) AS iy FROM gx)
+            -- unnests inside raster_cells_sql (DuckDB zips same-SELECT
+            -- unnests, so the cross product needs two CTEs).
             SELECT geom_id, CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy,
                    {morton_sql} + CAST({_RES} AS BIGINT) * 288230376151711744 AS cell
-            FROM g
-            WHERE ix * 4096 + 2048 > cx - hw - 0.5 AND ix * 4096 + 2048 < cx + hw + 0.5
-              AND iy * 4096 + 2048 > cy - hh - 0.5 AND iy * 4096 + 2048 < cy + hh + 0.5
+            FROM ({raster_cells_sql}) g
+        """,
+        "compact_cover_rects": f"""
+            -- H3-compact on the Z-order grid: the engine's bottom-up loop
+            -- (complete 4-sibling sets promoted to their parent, children
+            -- anti-joined out) unrolled as {_RES} rounds of chained CTEs
+            -- over the shared rasterized cell set. Morton over range(8)
+            -- bits is exact at every res (high bits are zero for coarse
+            -- cells), matching kernels.geometry.cell_from_grid.
+            WITH {compact_rounds_sql},
+            u AS ({compact_union_sql})
+            SELECT geom_id, CAST(res AS INT) AS res,
+                   CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy,
+                   {morton_sql} + CAST(res AS BIGINT) * 288230376151711744 AS cell
+            FROM u
         """,
         "rect_overlap_join": f"""
             -- strict-AABB overlap join (RectanglesCollide semantics:

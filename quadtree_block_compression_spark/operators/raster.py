@@ -87,6 +87,97 @@ def rasterize(geoms: DataFrame, res: int) -> DataFrame:
     return hits.select("geom_id", "ix", "iy", cell_of("ix", "iy").alias("cell"))
 
 
+def compact_cells(cells: DataFrame, res: int,
+                  group_col: str = "geom_id") -> DataFrame:
+    """Minimal quadtree cover: replace every COMPLETE 4-sibling set by its
+    parent, iteratively to resolution 0 — H3's ``compact`` on the Z-order
+    grid, and exactly the quadtree-block idea of the reference (a uniform
+    region is stored as one coarse block, ``quadtreeImage.go``'s leaf rule
+    1, re-expressed as a relational rollup).
+
+    ``cells``: (``group_col``, ix, iy) at uniform resolution ``res``
+    (e.g. :func:`rasterize` output); compaction is per group. Returns
+    (``group_col``, res, ix, iy, cell) — a mixed-resolution set that tiles
+    exactly the input set (pytested: ``uncompact_cells`` restores it).
+
+    Plan: ``res`` rounds of (parent aggregate + left-anti join), each round
+    touching only the cells still at the current resolution — log-depth,
+    one shuffle per level on a strictly shrinking frame, no driver-side
+    data. Input need not be deduplicated per group — duplicates would fake
+    "complete" sibling sets, so the first round's aggregate counts
+    DISTINCT siblings (the level-0 grain is (group, ix, iy) itself).
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution out of range: {res}")
+    # checkpoint before the loop: round one consumes ``cur`` twice (parent
+    # aggregate + anti-join) and would otherwise execute the caller's
+    # upstream plan (e.g. a full rasterize) twice
+    cur = (cells.select(group_col, "ix", "iy").distinct()
+           .localCheckpoint(eager=True))
+    kept = []
+    for r in range(res, 0, -1):
+        full = (cur.groupBy(group_col,
+                            F.floor(F.col("ix") / 2).cast("int").alias("pix"),
+                            F.floor(F.col("iy") / 2).cast("int").alias("piy"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") == 4).drop("_n"))
+        keep_r = (cur
+                  .withColumn("_jx", F.floor(F.col("ix") / 2).cast("int"))
+                  .withColumn("_jy", F.floor(F.col("iy") / 2).cast("int"))
+                  .join(full.withColumnRenamed("pix", "_jx")
+                            .withColumnRenamed("piy", "_jy"),
+                        [group_col, "_jx", "_jy"], "left_anti")
+                  .drop("_jx", "_jy"))
+        kept.append(keep_r.withColumn("res", F.lit(r)))
+        # bound plan depth: each level's plan would otherwise nest the
+        # whole chain below it (res levels deep at fine resolutions)
+        cur = (full.select(group_col, F.col("pix").alias("ix"),
+                           F.col("piy").alias("iy"))
+               .localCheckpoint(eager=True))
+    out = cur.withColumn("res", F.lit(0))
+    for k in kept:
+        out = out.unionByName(k)
+
+    @pandas_udf("long")
+    def cell_of(ix, iy, rr):  # type: ignore[misc]
+        import numpy as np
+        import pandas as pd
+        from ..kernels.geometry import cell_from_grid
+        ixa, iya = ix.to_numpy(), iy.to_numpy()
+        rra = rr.to_numpy()
+        outc = np.empty(len(ixa), dtype=np.int64)
+        for rv in np.unique(rra):
+            m = rra == rv
+            outc[m] = cell_from_grid(ixa[m], iya[m], int(rv))
+        return pd.Series(outc)
+
+    return out.select(group_col, "res", "ix", "iy",
+                      cell_of("ix", "iy", "res").alias("cell"))
+
+
+def uncompact_cells(compacted: DataFrame, res: int,
+                    group_col: str = "geom_id") -> DataFrame:
+    """Inverse of :func:`compact_cells`: expand every cell to its
+    descendants at uniform ``res`` (H3 ``uncompact``). Pure JVM — each cell
+    at resolution r explodes to its 4^(res-r) children via two
+    ``sequence`` fan-outs over the child index ranges.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution out of range: {res}")
+    # python-side shiftleft requires a literal bit count; SQL-side accepts
+    # the per-row (res - row.res) column
+    scale = F.expr(f"shiftleft(1, {int(res)} - res)")
+    base_x = F.col("ix") * scale
+    base_y = F.col("iy") * scale
+    return (compacted
+            .where(F.col("res") <= res)
+            .withColumn("_ox", F.explode(F.sequence(F.lit(0), scale - 1)))
+            .withColumn("_oy", F.explode(F.sequence(F.lit(0), scale - 1)))
+            .select(group_col,
+                    (base_x + F.col("_ox")).cast("int").alias("ix"),
+                    (base_y + F.col("_oy")).cast("int").alias("iy")))
+
+
 def zonal_stats(points: DataFrame, geoms: DataFrame) -> DataFrame:
     """Per-polygon aggregates over the points inside it (zonal statistics).
 

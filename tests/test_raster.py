@@ -184,3 +184,54 @@ def test_overlap_join_matches_bruteforce(spark):
         iw = min(ax1[i], bx1[j]) - max(ax0[i], bx0[j])
         ih = min(ay1[i], by1[j]) - max(ay0[i], by0[j])
         assert area[(ai, bj)] == int(iw * ih * 4)
+
+
+# ------------------------------------------------- compact / uncompact -----
+
+
+def test_compact_uncompact_roundtrip(spark, geoms):
+    """compact is a partition of the input set: uncompact restores it
+    exactly, with no overlaps (each original cell produced once), and the
+    compacted set is strictly smaller on region-shaped input."""
+    from quadtree_block_compression_spark.operators.raster import (
+        compact_cells, uncompact_cells)
+
+    cells = rasterize(geoms, res=RES).cache()
+    comp = compact_cells(cells, res=RES).cache()
+    assert comp.count() < cells.count()
+    # mixed resolutions actually exercised (big polygons have interiors)
+    assert comp.select("res").distinct().count() >= 3
+
+    back = uncompact_cells(comp, res=RES).collect()
+    rt = [(r.geom_id, r.ix, r.iy) for r in back]
+    assert len(rt) == len(set(rt))  # disjoint: no cell covered twice
+    orig = {(r.geom_id, r.ix, r.iy) for r in cells.collect()}
+    assert set(rt) == orig
+
+    # cell keys carry each row's own resolution
+    got = comp.select("res", "ix", "iy", "cell").collect()
+    ix = np.array([r.ix for r in got])
+    iy = np.array([r.iy for r in got])
+    for rv in {r.res for r in got}:
+        m = np.array([r.res == rv for r in got])
+        want = cell_from_grid(ix[m], iy[m], int(rv))
+        assert np.array_equal(
+            np.array([r.cell for r in got], dtype=np.int64)[m], want)
+
+
+def test_compact_full_grid_collapses_to_root(spark):
+    """The complete res-2 grid (16 cells) compacts to the single root."""
+    from quadtree_block_compression_spark.operators.raster import compact_cells
+    full = pd.DataFrame([{"geom_id": "g", "ix": x, "iy": y}
+                         for x in range(4) for y in range(4)])
+    out = compact_cells(spark.createDataFrame(full), res=2).collect()
+    assert [(r.geom_id, r.res, r.ix, r.iy) for r in out] == [("g", 0, 0, 0)]
+
+
+def test_compact_dedups_input(spark):
+    """Duplicate input cells must not fake a complete sibling set: four
+    copies of ONE cell stay one res-N cell, not a promoted parent."""
+    from quadtree_block_compression_spark.operators.raster import compact_cells
+    dup = pd.DataFrame([{"geom_id": "g", "ix": 2, "iy": 2}] * 4)
+    out = compact_cells(spark.createDataFrame(dup), res=3).collect()
+    assert [(r.res, r.ix, r.iy) for r in out] == [(3, 2, 2)]
