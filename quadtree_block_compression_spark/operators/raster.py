@@ -104,8 +104,8 @@ def compact_cells(cells: DataFrame, res: int,
     touching only the cells still at the current resolution — log-depth,
     one shuffle per level on a strictly shrinking frame, no driver-side
     data. Input need not be deduplicated per group — duplicates would fake
-    "complete" sibling sets, so the first round's aggregate counts
-    DISTINCT siblings (the level-0 grain is (group, ix, iy) itself).
+    "complete" sibling sets, so the loop runs over the DISTINCT
+    (group, ix, iy) set (pytested).
     """
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"resolution out of range: {res}")
