@@ -235,3 +235,55 @@ def test_compact_dedups_input(spark):
     dup = pd.DataFrame([{"geom_id": "g", "ix": 2, "iy": 2}] * 4)
     out = compact_cells(spark.createDataFrame(dup), res=3).collect()
     assert [(r.res, r.ix, r.iy) for r in out] == [(3, 2, 2)]
+
+
+def test_compact_matches_python_reference_many_cases(spark):
+    """20 random cell sets (blobs, sparse scatters, full quadrants) in ONE
+    DataFrame — group_col isolates the cases — against a pure-Python
+    bottom-up compaction."""
+    from quadtree_block_compression_spark.operators.raster import compact_cells
+
+    res = 4
+    n = 1 << res
+
+    def py_compact(cells):
+        cur = set(cells)
+        out = set()
+        for r in range(res, 0, -1):
+            parents = {}
+            for (x, y) in cur:
+                parents.setdefault((x // 2, y // 2), set()).add((x, y))
+            promoted = {p for p, ch in parents.items() if len(ch) == 4}
+            out |= {(r, x, y) for (x, y) in cur
+                    if (x // 2, y // 2) not in promoted}
+            cur = promoted
+        return out | {(0, x, y) for (x, y) in cur}
+
+    rng = np.random.default_rng(11)
+    cases = {}
+    for i in range(20):
+        kind = i % 4
+        if kind == 0:    # sparse scatter
+            k = int(rng.integers(1, 30))
+            pts = {(int(x), int(y)) for x, y in
+                   zip(rng.integers(0, n, k), rng.integers(0, n, k))}
+        elif kind == 1:  # solid random rectangle (compacts heavily)
+            x0, y0 = rng.integers(0, n - 1, 2)
+            x1 = int(rng.integers(x0, n)); y1 = int(rng.integers(y0, n))
+            pts = {(x, y) for x in range(int(x0), x1 + 1)
+                   for y in range(int(y0), y1 + 1)}
+        elif kind == 2:  # full grid
+            pts = {(x, y) for x in range(n) for y in range(n)}
+        else:            # random mask
+            mask = rng.random((n, n)) < 0.6
+            pts = {(int(x), int(y)) for x, y in zip(*np.nonzero(mask))}
+        cases[f"case_{i}"] = pts
+
+    pdf = pd.DataFrame([{"geom_id": g, "ix": x, "iy": y}
+                        for g, pts in cases.items() for (x, y) in pts])
+    got = compact_cells(spark.createDataFrame(pdf), res=res).collect()
+    by_case: dict[str, set] = {g: set() for g in cases}
+    for r in got:
+        by_case[r.geom_id].add((r.res, r.ix, r.iy))
+    for g, pts in cases.items():
+        assert by_case[g] == py_compact(pts), g
