@@ -67,9 +67,15 @@ def _unit(col):
     vector lets every pairwise cosine be a single fold (dot of unit vectors)
     instead of three — the HOF folds are interpreted, not codegen'd, so at
     ~250k candidate pairs this is the verify stage's dominant cost
-    (measured ~2× at sf0.1)."""
+    (measured ~2× at sf0.1).
+
+    The norm rides in via ``array_repeat`` so it evaluates ONCE per row: a
+    ``transform(col, x -> x / n)`` would inline the whole norm fold into
+    the lambda and re-evaluate it per element — interpreted O(dim²) per
+    vector (the embed_text r5 finding, same class)."""
     n = F.greatest(_norm(col), F.lit(1e-12))
-    return F.transform(col, lambda x: x / n)
+    return F.zip_with(col, F.array_repeat(n, F.size(col)),
+                      lambda x, nv: x / nv)
 
 
 def with_unit_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
