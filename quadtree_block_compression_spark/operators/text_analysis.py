@@ -186,24 +186,36 @@ def repetition_features(docs: DataFrame, text_col: str = "text",
     from ..functions.parallelism import spread
     docs = spread(docs)
     t = F.trim(F.lower(F.col(text_col)))
-    words = F.split(t, r"\s+")
-    n = F.size(words)
+    # the token array is hoisted to a COLUMN before the HOF stage: lambdas
+    # capturing the split expression directly would re-run
+    # trim+lower+split per lambda invocation (once per distinct token in
+    # the count loop) — interpreted HOFs inline captured expressions, the
+    # embed_text r5 finding. A multi-referenced non-cheap expression also
+    # survives CollapseProject, so the hoist sticks.
+    base = docs.select(F.col(id_col), (F.length(t) == 0).alias("_blank"),
+                       F.split(t, r"\s+").alias("_w"))
+    w = F.col("_w")
+    n = F.size(w)
     counts = F.transform(
-        F.array_distinct(words),
-        lambda d: F.size(F.filter(words, lambda w: w == d)))
-    top_ratio = F.round(F.array_max(counts) / n, 6)
+        F.array_distinct(w),
+        lambda d: F.size(F.filter(w, lambda x: x == d)))
     bigrams = F.when(
         n >= 2,
         F.transform(F.sequence(F.lit(0), n - 2),
-                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)))
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)))
     ).otherwise(F.array().cast("array<string>"))
-    n_bi = F.size(bigrams)
-    dup_bi = F.round((n_bi - F.size(F.array_distinct(bigrams)))
+    mid = base.select(id_col, "_blank", n.alias("_n"),
+                      F.array_max(counts).alias("_topc"),
+                      bigrams.alias("_bi"))
+    n_bi = F.size("_bi")
+    top_ratio = F.round(F.col("_topc") / F.col("_n"), 6)
+    dup_bi = F.round((n_bi - F.size(F.array_distinct("_bi")))
                      / F.greatest(n_bi, F.lit(1)), 6)
-    blank = F.length(t) == 0
-    return docs.select(
+    blank = F.col("_blank")
+    return mid.select(
         F.col(id_col),
-        F.when(blank, F.lit(0)).otherwise(n).cast("long").alias("n_words"),
+        F.when(blank, F.lit(0)).otherwise(F.col("_n")).cast("long")
+        .alias("n_words"),
         F.when(blank, F.lit(0.0)).otherwise(top_ratio).alias("top_word_ratio"),
         F.when(blank, F.lit(0.0)).otherwise(dup_bi).alias("dup_bigram_ratio"))
 
