@@ -156,6 +156,44 @@ _POINT_SQL = f"""
   FROM customer
 """
 
+
+def _strip_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rects over the mosaic strip the 16 fixture images
+    occupy (wx ∈ [0, 16·16384), wy ∈ [0, 16384)) — the geometry side of the
+    blocks→polygon join. Half-integer bounds: block centroids are integer
+    multiples of 64 (the affine divides powers of two), so no centroid can
+    sit on a rect boundary."""
+    import numpy as np
+    import pandas as pd
+    from quadtree_block_compression_spark.kernels.geometry import polygon_cover
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey").collect()
+    rows = []
+    for r in nat:
+        n = int(r.n_nationkey)
+        cx = (n * 9973 + 777) % (16 * 16384)
+        cy = (n * 613 + 450) % 16384
+        hw = 3000 + (n % 5) * 4000
+        hh = 1500 + (n % 4) * 1500
+        x0, x1 = cx - hw - 0.5, cx + hw + 0.5
+        y0, y1 = cy - hh - 0.5, cy + hh + 0.5
+        vx = np.array([x0, x1, x1, x0]); vy = np.array([y0, y0, y1, y1])
+        rows.append({"geom_id": f"strip_{n:05d}", "kind": "rect",
+                     "vx": vx.tolist(), "vy": vy.tolist(),
+                     "cell_keys": polygon_cover(vx, vy, _RES).tolist(),
+                     "is_hot": False})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+_STRIP_RECT_SQL = """
+  SELECT 'strip_' || lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS geom_id,
+         (CAST(n_nationkey AS BIGINT) * 9973 + 777) % 262144 AS cx,
+         (CAST(n_nationkey AS BIGINT) * 613 + 450) % 16384 AS cy,
+         3000 + (n_nationkey % 5) * 4000 AS hw,
+         1500 + (n_nationkey % 4) * 1500 AS hh
+  FROM nation
+"""
+
 def _shingle_sql(src: str = "documents") -> str:
     """Shingle CTE body over ``src`` (a table or CTE name) — parametrized so
     the incremental-dedup oracle can shingle a corpus∪batch union."""
@@ -884,6 +922,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rects = _nation_rects(spark, sf)
         return raster.zonal_stats(pts, rects)
 
+    def blocks_pip_join(spark, sf):
+        """The north rule's block-to-polygon join END TO END on the LIVE
+        kernel output: fixture images → quadtree leaf blocks →
+        world-frame centroids + cell keys (the batched Arrow affine+encode)
+        → broadcast cell-prefiltered PIP join against strip rects. Oracle
+        replays the identical affine arithmetic over the frozen golden
+        blocks table (kernel drift → hash fail) with open-interval
+        containment; centroid coordinates are exact multiples of 64, so
+        the half-integer rect bounds admit no boundary ambiguity."""
+        images = _fixture_images(spark, 16)
+        blocks = tiling.assign_tiles(images).where("is_leaf")
+        pts = spatial_join.block_centroids(blocks, res=_RES)
+        rects = _strip_rects(spark, sf)
+        hits = spatial_join.spatial_join_broadcast(pts, rects)
+        return hits.select("image_id", "tile_id", "geom_id",
+                           F.round("wx", 6).alias("wx"),
+                           F.round("wy", 6).alias("wy"))
+
     def compact_cover_rects(spark, sf):
         """Minimal quadtree cover (H3 `compact` on the Z-order grid): the
         rasterized nation rects compacted bottom-up — every complete
@@ -1339,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_triangles": spatial_join_triangles,
         "rasterize_rects": rasterize_rects,
         "zonal_stats_rects": zonal_stats_rects,
+        "blocks_pip_join": blocks_pip_join,
         "compact_cover_rects": compact_cover_rects,
         "rect_overlap_join": rect_overlap_join,
         "spatial_distance_join": spatial_distance_join,
@@ -2352,6 +2409,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ix AS INT) AS ix, CAST(iy AS INT) AS iy,
                    {morton_sql} + CAST(res AS BIGINT) * 288230376151711744 AS cell
             FROM u
+        """,
+        "blocks_pip_join": f"""
+            -- the block→polygon join replayed over the FROZEN golden
+            -- blocks: identical mosaic affine (idx from image_id digits,
+            -- canvas scaled onto one 16384-wide mosaic cell — all powers
+            -- of two, so wx/wy are float-exact multiples of 64), then
+            -- open-interval rect containment. Kernel drift (different
+            -- leaves → different centroids) fails the hash.
+            WITH leaves AS (
+              SELECT image_id, tile_id, level, x0, y0, x1, y1
+              FROM read_parquet('{_BLOCKS_GOLDEN}') WHERE is_leaf),
+            pts AS (
+              SELECT image_id, tile_id,
+                     CAST(regexp_extract(image_id, '(\\d+)$', 1) AS BIGINT) AS idx,
+                     (x1 - x0) * power(2.0, level) AS side,
+                     x0, y0, x1, y1
+              FROM leaves),
+            w AS (
+              SELECT image_id, tile_id,
+                     (idx % 64) * 16384.0
+                       + ((x0 + x1) / 2.0) * 16384.0 / side AS wx,
+                     (CAST(floor(idx / 64) AS BIGINT) % 64) * 16384.0
+                       + ((y0 + y1) / 2.0) * 16384.0 / side AS wy
+              FROM pts),
+            r AS ({_STRIP_RECT_SQL})
+            SELECT w.image_id, w.tile_id, r.geom_id,
+                   round(wx, 6) AS wx, round(wy, 6) AS wy
+            FROM w, r
+            WHERE wx > r.cx - r.hw - 0.5 AND wx < r.cx + r.hw + 0.5
+              AND wy > r.cy - r.hh - 0.5 AND wy < r.cy + r.hh + 0.5
         """,
         "rect_overlap_join": f"""
             -- strict-AABB overlap join (RectanglesCollide semantics:

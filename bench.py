@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "corpus_clean_components", "ann_ivf_topk", "pii_redact", "decontaminate",  # r5
     "doc_repetition", "knn_corpus", "doc_chunks", "text_embed_hashed",  # r5
     "rasterize_rects", "zonal_stats_rects", "rect_overlap_join",  # r5 spatial
-    "compact_cover_rects",  # r5 spatial
+    "compact_cover_rects", "blocks_pip_join",  # r5 spatial
 ]
 
 
