@@ -52,7 +52,14 @@ def word_shingles(docs: DataFrame, n: int, text_col: str = "text",
     split → slice windows via transform/sequence → concat — no Python."""
     from ..functions.parallelism import spread
     docs = spread(docs)  # a single-file scan must not serialize the explode
-    toks = F.split(F.col(text_col), r"\s+")
+    # the token array is a COLUMN before the window transform: the slice
+    # lambda capturing the split expression directly would re-run split per
+    # window index under interpreted HOF evaluation (~tokens× redundant
+    # splits per doc — the embed_text r5 finding); a multi-referenced
+    # non-cheap expression survives CollapseProject, so the hoist sticks
+    base = docs.select(F.col(id_col),
+                       F.split(F.col(text_col), r"\s+").alias("_toks"))
+    toks = F.col("_toks")
     # positions 0 .. len-n; docs shorter than n tokens yield no shingles
     # (sequence(0, negative) would count DOWN and slice() would throw, so the
     # transform is guarded — CaseWhen evaluates the then-branch per row only
@@ -62,7 +69,7 @@ def word_shingles(docs: DataFrame, n: int, text_col: str = "text",
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
     ).otherwise(F.array().cast("array<string>"))
-    return (docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return (base.select(F.col(id_col), F.explode(sh).alias("shingle"))
             .where(F.length("shingle") > 0)
             .distinct())
 

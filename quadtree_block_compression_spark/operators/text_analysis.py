@@ -244,8 +244,13 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 32,
     docs = spread(docs)
     stride = chunk_tokens - overlap
     t = F.trim(F.col(text_col))
-    toks = F.split(t, r"\s+")
-    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
+    # hoist the token array to a column: the window lambda slicing the
+    # split expression directly would re-run split per chunk index under
+    # interpreted HOF evaluation (the embed_text r5 finding)
+    docs = docs.select(F.col(id_col), (F.length(t) == 0).alias("_blank"),
+                       F.split(t, r"\s+").alias("_toks"))
+    toks = F.col("_toks")
+    n = F.when(F.col("_blank"), F.lit(0)).otherwise(F.size(toks))
     n_chunks = F.when(
         n == 0, F.lit(0)
     ).otherwise(F.greatest(
