@@ -33,14 +33,24 @@ def bpe_ish_token_count(text_col: str = "text"):
                                        F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
-def _quality_feature_exprs(text_col: str = "text") -> dict:
+def _words_expr(text_col: str = "text"):
+    """Lowercased whitespace token array — hoist this to a column and pass
+    it to the expression factories: the per-language stopword filters are
+    interpreted (CodegenFallback), so a captured split expression would
+    re-evaluate once per filter (r5 HOF-capture invariant, CLAUDE.md)."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def _quality_feature_exprs(text_col: str = "text", words=None) -> dict:
     """Named quality-feature column expressions (shared by
-    :func:`quality_features`, :func:`quality_score`, :func:`annotate`)."""
+    :func:`quality_features`, :func:`quality_score`, :func:`annotate`).
+    ``words``: pre-hoisted token column (defaults to the inline split)."""
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = token_count(text_col)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    words = F.split(F.lower(t), r"\s+")
+    if words is None:
+        words = _words_expr(text_col)
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
     punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?'\"]", ""))
     digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
@@ -56,9 +66,9 @@ def _quality_feature_exprs(text_col: str = "text") -> dict:
     }
 
 
-def _quality_score_expr(text_col: str = "text"):
+def _quality_score_expr(text_col: str = "text", words=None):
     """Composite 0..1 quality score (monotone penalties, documented weights)."""
-    f = _quality_feature_exprs(text_col)
+    f = _quality_feature_exprs(text_col, words=words)
     length_ok = F.when((f["n_chars_calc"] >= 50) & (f["n_chars_calc"] <= 10000),
                        F.lit(1.0)).otherwise(F.lit(0.3))
     punct_ok = F.when(f["punct_ratio"] <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
@@ -66,10 +76,12 @@ def _quality_score_expr(text_col: str = "text"):
     return F.round(length_ok * punct_ok * stop_ok, 6)
 
 
-def _lang_exprs(text_col: str = "text"):
+def _lang_exprs(text_col: str = "text", words=None):
     """(lang_pred, lang_score) expressions: stopword-vote argmax with
-    deterministic tie-break (language name ascending), 'und' on zero."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    deterministic tie-break (language name ascending), 'und' on zero.
+    ``words``: pre-hoisted token column (defaults to the inline split)."""
+    if words is None:
+        words = _words_expr(text_col)
     n = F.greatest(F.size(words), F.lit(1))
     scores = []
     for lang in sorted(STOPWORDS):
@@ -114,8 +126,9 @@ def quality_score(docs: DataFrame, text_col: str = "text",
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language ID (see :func:`_lang_exprs`)."""
-    lang_pred, lang_score = _lang_exprs(text_col)
-    return docs.select(F.col(id_col), lang_pred.alias("lang_pred"),
+    base = docs.select(F.col(id_col), _words_expr(text_col).alias("_words"))
+    lang_pred, lang_score = _lang_exprs(text_col, words=F.col("_words"))
+    return base.select(F.col(id_col), lang_pred.alias("lang_pred"),
                        lang_score.alias("lang_score"))
 
 
@@ -284,13 +297,17 @@ def annotate(docs: DataFrame, text_col: str = "text",
     extra scans of the corpus at 100 TB)."""
     from ..functions.parallelism import spread
     docs = spread(docs)  # regex-heavy projection: use every core on tiny scans
+    # ONE token array feeds the stopword ratio + every language vote
+    # (previously ~1 split per language per row on the interpreted path)
+    base = docs.select("*", _words_expr(text_col).alias("_words"))
+    w = F.col("_words")
     fp, norm_len = _fingerprint_exprs(text_col)
-    lang_pred, lang_score = _lang_exprs(text_col)
-    f = _quality_feature_exprs(text_col)
-    return docs.select(
+    lang_pred, lang_score = _lang_exprs(text_col, words=w)
+    f = _quality_feature_exprs(text_col, words=w)
+    return base.select(
         "*", fp.alias("fingerprint"), norm_len.alias("norm_len"),
-        _quality_score_expr(text_col).alias("quality"),
+        _quality_score_expr(text_col, words=w).alias("quality"),
         f["n_tokens"].alias("n_tokens"),
         f["punct_ratio"].alias("punct_ratio"),
         f["stopword_ratio"].alias("stopword_ratio"),
-        lang_pred.alias("lang_pred"), lang_score.alias("lang_score"))
+        lang_pred.alias("lang_pred"), lang_score.alias("lang_score")).drop("_words")
