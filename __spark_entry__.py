@@ -475,6 +475,17 @@ def _fixture_dims_values(n: int) -> str:
                      for r in pdf.itertuples())
 
 
+def _phash_fixture_ids_values() -> str:
+    """(image_id) VALUES rows for the 20-row seeded phash fixture
+    (16 metadata-only fixture ids + the 4 deterministic near-dup extras
+    _phash_images seeds) — the node set for the image-cluster oracle."""
+    from quadtree_block_compression_spark.fixtures.images import images_meta_pandas
+    pdf = images_meta_pandas(16, seed=42, max_side=128)
+    ids = list(pdf["image_id"])
+    extras = [ids[0] + "_copy"] + [ids[i] + "_v2" for i in (2, 7, 11)]
+    return ", ".join(f"('{i}')" for i in ids + extras)
+
+
 def _archive_meta_values() -> str:
     """(image_id, w, h, tree_height) VALUES rows for the 8 fixture images —
     deterministic pure-function constants, same pattern as PERMS_16."""
@@ -1121,17 +1132,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_blocks"),
                      F.sum(F.col("is_symlink").cast("int")).alias("n_symlinks")))
 
-    def image_near_dup_phash(spark, sf):
-        from quadtree_block_compression_spark.operators.dedup_images import (
-            phash_near_dup_pairs)
+    def _phash_images(spark):
+        """Seeded near-dup image fixture shared by the two phash queries:
+        the 16 fixture images plus an exact re-encode of row 0 (hamming 0)
+        and ±1-noise perturbations of the textured rows (noise/checker
+        classes have stable pHashes under small perturbation; flat classes
+        do not). Returns a 20-row (image_id, phash) DataFrame."""
         import numpy as np
         import pandas as pd
         from quadtree_block_compression_spark.kernels.codecs import decode_image
         from quadtree_block_compression_spark.kernels.phash import phash64
         base = _fixture_images(spark, 16).toPandas()
-        # near-dups: an exact re-encode of row 0 (hamming 0) plus ±1-noise
-        # perturbations of the textured rows (noise/checker classes have
-        # stable pHashes under small perturbation; flat classes do not)
         extra = [{"image_id": base.iloc[0]["image_id"] + "_copy",
                   "phash": int(base.iloc[0]["phash"])}]
         rng = np.random.default_rng(99)
@@ -1144,7 +1155,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "phash": int(phash64(pert))})
         pdf = pd.concat([base[["image_id", "phash"]], pd.DataFrame(extra)],
                         ignore_index=True)
-        return phash_near_dup_pairs(spark.createDataFrame(pdf), max_hamming=10)
+        return spark.createDataFrame(pdf)
+
+    def image_near_dup_phash(spark, sf):
+        from quadtree_block_compression_spark.operators.dedup_images import (
+            phash_near_dup_pairs)
+        return phash_near_dup_pairs(_phash_images(spark), max_hamming=10)
+
+    def image_dedup_clusters(spark, sf):
+        """Near-dup image CLUSTERS: connected components over the pHash
+        pair edges (one canonical survivor per component) — the image-
+        modality twin of block_dedup_clusters and corpus_clean_components.
+        Oracle: recursive CTE (min reachable id) over the FROZEN
+        image_near_dup_phash snapshot edges + the metadata-only fixture id
+        list, so the live pair plan AND the live components both grade
+        against independently-derived SQL."""
+        from quadtree_block_compression_spark.operators.dedup_images import (
+            phash_dedup_clusters)
+        return phash_dedup_clusters(_phash_images(spark), max_hamming=10)
 
     def audio_features(spark, sf):
         """Real WAV PCM decode (stdlib wave) over deterministic generated
@@ -1253,6 +1281,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clean = exact.join(keep, "doc_id", "left_semi")
         return (clean.filter(F.col("quality") >= 0.5)
                 .select("doc_id", "fingerprint", "quality", "lang_pred"))
+
+    def dedup_elect_quality(spark, sf):
+        """QUALITY-aware canonical election: per near-dup component keep
+        the HIGHEST-quality member (tie → min doc_id) instead of the min-id
+        member — the production corpus rule (keep the best copy, not the
+        first-crawled one). Same exact-dedup prefix + LSH edges + components
+        as corpus_clean_components; only the election criterion differs, so
+        the two graded queries isolate it. Ranking orders by round(quality,
+        6) on BOTH engines (the 6-dp grid the oracles already hash-agree
+        on), never by the raw double."""
+        from pyspark.sql import Window
+        from quadtree_block_compression_spark.functions.cache import persist_tracked
+        from quadtree_block_compression_spark.operators.components import (
+            connected_components)
+        (docs,) = _tables(spark, sf, "documents")
+        ann = text_analysis.annotate(docs)
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        exact = persist_tracked(
+            ann.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+        pairs = dedup_text.minhash_lsh_pairs(exact, n=_NGRAM_N, num_perm=_NUM_PERM,
+                                             bands=_BANDS, threshold=0.5,
+                                             max_bucket=_MAX_BUCKET)
+        comp = connected_components(exact, pairs)
+        scored = comp.join(
+            exact.select("doc_id", F.round("quality", 6).alias("quality")),
+            "doc_id")
+        we = Window.partitionBy("component_id").orderBy(
+            F.desc("quality"), F.asc("doc_id"))
+        return (scored.withColumn("_rn", F.row_number().over(we))
+                .select("doc_id", "component_id", "component_size", "quality",
+                        (F.col("_rn") == 1).alias("is_kept")))
 
     def pii_redact_docs(spark, sf):
         """PII scrub over the corpus. The word-soup testdata carries no PII,
@@ -1364,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": fingerprint_docs,
         "corpus_clean": corpus_clean,
         "corpus_clean_components": corpus_clean_components,
+        "dedup_elect_quality": dedup_elect_quality,
         "pii_redact": pii_redact_docs,
         "decontaminate": decontaminate_docs,
         "doc_repetition": doc_repetition,
@@ -1413,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_size_extremes": block_size_extremes,
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "image_near_dup_phash": image_near_dup_phash,
+        "image_dedup_clusters": image_dedup_clusters,
         "audio_features": audio_features,
         "video_frame_stats": video_frame_stats,
         "tile_range_query": tile_range_query,
@@ -1920,6 +1982,93 @@ def oracle_sql() -> dict[str, str]:
             FROM kept k JOIN quality q ON k.doc_id = q.doc_id
             JOIN langs l ON k.doc_id = l.doc_id
             WHERE q.q >= 0.5
+        """,
+        "dedup_elect_quality": f"""
+            -- same prefix as corpus_clean_components through comp; the tail
+            -- swaps the min-id election for argmax round(quality,6) (tie →
+            -- min doc_id) per component — both engines rank on the same
+            -- 6-dp grid the corpus_clean oracles already hash-agree on
+            WITH RECURSIVE norm AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                         '\\s+', ' ', 'g')) AS n
+              FROM documents),
+            ann AS (
+              SELECT doc_id, text, {portable_hash64_sql('n')} AS fingerprint FROM norm),
+            exact AS (
+              SELECT * FROM (
+                SELECT doc_id, text, fingerprint,
+                       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                FROM ann) WHERE rn = 1),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(arr) - {_NGRAM_N} + 1, 0) + 1),
+                              i -> array_to_string(arr[i:i + {_NGRAM_N - 1}], ' '))) AS shingle
+                FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM exact)
+              ) WHERE length(shingle) > 0),
+            hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh),
+            sig AS (SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id),
+            bucketed0 AS (
+              SELECT DISTINCT doc_id, band, key FROM (
+                SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
+            bucketed AS (
+              SELECT b.* FROM bucketed0 b
+              JOIN (SELECT band, key FROM bucketed0
+                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
+                USING (band, key)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bucketed a JOIN bucketed b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT doc_a AS x, doc_b AS y FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i / (sa.sz + sb.sz - i) >= 0.5),
+            sym AS (SELECT x, y FROM edges UNION SELECT y, x FROM edges),
+            reach(src, node) AS (
+              SELECT doc_id, doc_id FROM exact
+              UNION
+              SELECT r.src, e.y FROM reach r JOIN sym e ON e.x = r.node),
+            comp AS (SELECT src AS doc_id, min(node) AS component_id
+                     FROM reach GROUP BY src),
+            quality AS (
+              SELECT doc_id,
+                CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.3 END
+                * CASE WHEN length(regexp_replace(text, '[^\\.,;:!\\?''\\"]', '', 'g'))
+                            / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END
+                * CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        w -> list_contains(['the','a','and','of','to','in','is','that','for','it'], w)))
+                        / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+                                   1) >= 0.05
+                       THEN 1.0 ELSE 0.6 END AS q
+              FROM exact),
+            ranked AS (
+              SELECT c.doc_id, c.component_id,
+                     CAST(count(*) OVER (PARTITION BY c.component_id) AS BIGINT)
+                       AS component_size,
+                     CAST(round(q.q, 6) AS DOUBLE) AS quality,
+                     row_number() OVER (PARTITION BY c.component_id
+                                        ORDER BY round(q.q, 6) DESC, c.doc_id) AS rn
+              FROM comp c JOIN quality q ON q.doc_id = c.doc_id)
+            SELECT doc_id, component_id, component_size, quality,
+                   rn = 1 AS is_kept
+            FROM ranked
         """,
         "pii_redact": f"""
             -- identical seeding + identical Java∩RE2 patterns (interpolated
@@ -2589,6 +2738,17 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dup_phash": _snapshot_sql(
             "image_near_dup_phash",
             "hamming BETWEEN 0 AND 10 AND image_a < image_b"),
+        # components derived IN SQL (recursive CTE, min reachable id) from
+        # the frozen pair edges + the metadata-only fixture id list — the
+        # live pair plan, the live CC, and the singleton handling all grade
+        "image_dedup_clusters": components_recursive_sql(
+            f"SELECT i AS image_id FROM (VALUES {_phash_fixture_ids_values()})"
+            " AS m(i)",
+            "SELECT image_a, image_b FROM ("
+            + _snapshot_sql("image_near_dup_phash",
+                            "hamming BETWEEN 0 AND 10 AND image_a < image_b")
+            + ")",
+            id_col="image_id", a_col="image_a", b_col="image_b"),
         # pure function of the (SF-constant) nation keys; no SQL engine can
         # decode RIFF, but the frozen output pins the decoder driver-visibly
         # PCM algebra recomputable in SQL: duration = frames/rate; the

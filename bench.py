@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "doc_repetition", "knn_corpus", "doc_chunks", "text_embed_hashed",  # r5
     "rasterize_rects", "zonal_stats_rects", "rect_overlap_join",  # r5 spatial
     "compact_cover_rects", "blocks_pip_join",  # r5 spatial
+    "dedup_elect_quality", "image_dedup_clusters",  # r5 continuation
 ]
 
 

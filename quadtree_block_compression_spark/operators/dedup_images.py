@@ -6,30 +6,78 @@ on four non-overlapping 16-bit segments prunes the quadratic pair space
 (pigeonhole: any pair with Hamming ≤ 3 shares at least one segment exactly;
 larger t trades recall, the standard SimHash argument). Everything is JVM
 bit arithmetic — no Python.
+
+Generalizes the reference's block-identity dedup
+(``pkg/quadtreeImage/quadtreeElement.go:176-221``) from exact pixel equality
+to whole-image perceptual similarity.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+_SEG_BITS = 16
+_N_SEGS = 4
+_SEG_MASK = (1 << _SEG_BITS) - 1
+
 
 def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 10,
                          id_col: str = "image_id",
                          hash_col: str = "phash") -> DataFrame:
-    """Pairs of images with pHash Hamming distance ≤ ``max_hamming``."""
-    segs = [(F.shiftright(F.col(hash_col), s * 16)
-             .bitwiseAND(F.lit((1 << 16) - 1))).alias(f"seg{s}") for s in range(4)]
-    keyed = images.select(F.col(id_col), F.col(hash_col), *segs)
-    pairs = None
-    for s in range(4):
-        a = keyed.select(F.col(id_col).alias("a"), F.col(hash_col).alias("ha"),
-                         F.col(f"seg{s}").alias("seg"))
-        b = keyed.select(F.col(id_col).alias("b"), F.col(hash_col).alias("hb"),
-                         F.col(f"seg{s}").alias("seg"))
-        p = a.join(b, "seg").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return (pairs.distinct()
-            .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+    """Pairs of images with pHash Hamming distance ≤ ``max_hamming``.
+
+    One self-join on exploded (segment index, segment value) rows — a single
+    shuffle over 4n rows, same restructuring as ``dedup_text.simhash_pairs``
+    (which measured 2.8× over four unioned n-row joins). Pair uniqueness
+    uses the REFERENCE-POINT rule (round-5 invariant, cf.
+    ``spatial_join.overlap_join``): a pair is emitted ONLY at its FIRST
+    agreeing segment — "every lower segment differs" is checkable from the
+    XOR of the two hashes, so duplicates never exist and the post-join
+    ``distinct()`` (a second shuffle over all candidate pairs) disappears.
+    With no bucket cap in this tier the rule is exactly equivalent to the
+    distinct: every agreeing segment survives to the join, so the first one
+    is always present.
+    """
+    segs = F.array(*[
+        F.struct(F.lit(s).alias("si"),
+                 (F.shiftright(F.col(hash_col), s * _SEG_BITS)
+                  .bitwiseAND(F.lit(_SEG_MASK))).alias("sv"))
+        for s in range(_N_SEGS)])
+    keyed = (images.select(F.col(id_col), F.col(hash_col),
+                           F.explode(segs).alias("sg"))
+             .select(id_col, hash_col,
+                     F.col("sg.si").alias("si"), F.col("sg.sv").alias("sv")))
+    a = keyed.select(F.col(id_col).alias("a"), F.col(hash_col).alias("ha"),
+                     "si", "sv")
+    b = keyed.select(F.col(id_col).alias("b"), F.col(hash_col).alias("hb"),
+                     "si", "sv")
+    xor = F.col("ha").bitwiseXOR(F.col("hb"))
+    # reference point: all segments below the join segment differ
+    first_agreeing = F.lit(True)
+    for t in range(_N_SEGS - 1):
+        chunk = (F.shiftright(xor, t * _SEG_BITS)
+                 .bitwiseAND(F.lit(_SEG_MASK)))
+        first_agreeing = first_agreeing & ((F.col("si") <= t) | (chunk != 0))
+    return (a.join(b, ["si", "sv"])
+            .where((F.col("a") < F.col("b")) & first_agreeing)
+            .withColumn("hamming", F.bit_count(xor))
             .where(F.col("hamming") <= max_hamming)
             .select(F.col("a").alias("image_a"), F.col("b").alias("image_b"),
                     "hamming"))
+
+
+def phash_dedup_clusters(images: DataFrame, max_hamming: int = 10,
+                         id_col: str = "image_id",
+                         hash_col: str = "phash") -> DataFrame:
+    """Near-duplicate image CLUSTERS: connected components over the pHash
+    pair edges, one canonical image per component (min id) — the image-
+    modality twin of ``dedup_blocks`` → ``components`` (block symlink groups,
+    ``quadtreeElement.go:176-221``) and ``corpus_clean_components`` (text).
+    Returns (``id_col``, component_id, component_size, is_canonical); images
+    with no near-dup are singleton components of themselves.
+    """
+    from .components import connected_components
+    pairs = phash_near_dup_pairs(images, max_hamming=max_hamming,
+                                 id_col=id_col, hash_col=hash_col)
+    return connected_components(images, pairs, id_col=id_col,
+                                a_col="image_a", b_col="image_b")

@@ -24,6 +24,58 @@ def test_phash_near_dup_pairs(spark):
     assert ("a", "c") not in pairs and ("b", "c") not in pairs
 
 
+def test_phash_pairs_match_bruteforce_and_emit_once(spark):
+    """Reference-point rule = the distinct it replaced: the pair set equals
+    brute force (hamming ≤ t AND ≥1 agreeing 16-bit segment) and every pair
+    is emitted EXACTLY once even when the two hashes agree on several
+    segments (exact dups agree on all four)."""
+    from quadtree_block_compression_spark.operators.dedup_images import (
+        phash_near_dup_pairs)
+    rng = np.random.default_rng(7)
+    hs = list(rng.integers(-2**63, 2**63 - 1, 24, dtype=np.int64))
+    hs += hs[:3]                    # exact dups: all 4 segments agree
+    hs += [h ^ 0x3 for h in hs[:2]]  # hamming 2, segments 1-3 agree
+    hs += [hs[4] ^ (0x5 << 16)]     # hamming 2, segments 0,2,3 agree
+    ids = [f"i{k:02d}" for k in range(len(hs))]
+    images = spark.createDataFrame(
+        pd.DataFrame({"image_id": ids, "phash": np.array(hs, dtype=np.int64)}))
+    rows = phash_near_dup_pairs(images, max_hamming=10).collect()
+    got = [(r.image_a, r.image_b, r.hamming) for r in rows]
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+
+    def seg(h, s):
+        return (int(np.uint64(np.int64(h))) >> (16 * s)) & 0xFFFF
+
+    expected = set()
+    for x in range(len(hs)):
+        for y in range(x + 1, len(hs)):
+            a, b = sorted((ids[x], ids[y]))
+            ham = bin(int(np.uint64(np.int64(hs[x]) ^ np.int64(hs[y])))).count("1")
+            if ham <= 10 and any(seg(hs[x], s) == seg(hs[y], s) for s in range(4)):
+                expected.add((a, b, ham))
+    assert {(a, b, h) for a, b, h in got} == expected
+
+
+def test_phash_dedup_clusters_chain_and_singleton(spark):
+    """Transitive near-dup chain a–b, b–c (a–c beyond the threshold) forms
+    ONE component with the min id canonical; an unrelated hash stays a
+    singleton component of itself."""
+    from quadtree_block_compression_spark.operators.dedup_images import (
+        phash_dedup_clusters)
+    rows = [("a", 0x0), ("b", 0x3F), ("c", 0xFFF),       # ham 6, 6, 12
+            ("d", -6148914691236517206)]                  # 0xAAAA... pattern
+    images = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "phash"]))
+    out = {r.image_id: r for r in
+           phash_dedup_clusters(images, max_hamming=10).collect()}
+    assert len(out) == 4
+    for i in ("a", "b", "c"):
+        assert out[i].component_id == "a" and out[i].component_size == 3
+        assert out[i].is_canonical == (i == "a")
+    assert out["d"].component_id == "d" and out["d"].component_size == 1
+    assert out["d"].is_canonical
+
+
 def test_phash_near_dup_plan_jvm_only(spark):
     from quadtree_block_compression_spark.operators.dedup_images import (
         phash_near_dup_pairs)
