@@ -739,6 +739,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                             salt="wq", max_weight=2.0)
         return out.select("doc_id", "quality")
 
+    def corpus_mix_sample(spark, sf):
+        """Mixture-faithful stratified subsampling (data mixing): largest
+        subsample hitting a 1:2:1 short/medium/long length mix exactly —
+        quota arithmetic all-integer (floor(w·T/W), T = min over strata of
+        floor(n·W/w)), selection by (portable hash, id) rank per stratum.
+        The counts/quota side is O(strata) rows (broadcast); only the rank
+        window shuffles the corpus, once."""
+        from quadtree_block_compression_spark.operators.text_analysis import (
+            token_count)
+        (docs,) = _tables(spark, sf, "documents")
+        tok = token_count("text")
+        strat = docs.select(
+            "doc_id",
+            F.when(tok < 40, "short").when(tok < 70, "medium")
+            .otherwise("long").alias("stratum"))
+        out = sampling.mixture_sample(
+            strat, targets={"short": 1, "medium": 2, "long": 1},
+            strata_col="stratum", key_col="doc_id", salt="mx")
+        return out.select("doc_id", "stratum",
+                          F.col("pick_rank").cast("long").alias("pick_rank"))
+
+    def pack_docs(spark, sf):
+        """Concat-then-split sequence packing: assign every document its
+        (shard, pack, offset) under a 64-token context budget across 8
+        independent hash shards — the pretraining batch-assembly step as
+        one windowed plan (per-shard running sums; deliberately NO global
+        order, which would be a partitionless window)."""
+        from quadtree_block_compression_spark.operators.packing import (
+            pack_sequences)
+        (docs,) = _tables(spark, sf, "documents")
+        return pack_sequences(docs, budget=64, n_parts=8)
+
     def events_funnel(spark, sf):
         """Click→purchase conversion funnel composed from the as-of join:
         per purchase hour, how many purchases had a click by the same user
@@ -1439,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": dedup_components,
         "dedup_incremental": dedup_incremental,
         "corpus_weighted_sample": corpus_weighted_sample,
+        "corpus_mix_sample": corpus_mix_sample,
+        "pack_docs": pack_docs,
         "events_funnel": events_funnel,
         "dedup_components_logn": dedup_components_logn,
         "corpus_sample": corpus_sample,
@@ -2363,6 +2397,62 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src1' THEN 500000
                                 WHEN 'src2' THEN 200000
                                 ELSE 100000 END
+        """,
+        "corpus_mix_sample": f"""
+            -- mixture_sample replica: all-integer quota arithmetic
+            -- (T = min floor(n_s*W/w_s); t_s = floor(w_s*T/W)), selection =
+            -- first t_s rows per stratum by (portable hash, doc_id)
+            WITH sized AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+              FROM documents),
+            strat AS (
+              SELECT doc_id,
+                     CASE WHEN n < 40 THEN 'short'
+                          WHEN n < 70 THEN 'medium'
+                          ELSE 'long' END AS stratum
+              FROM sized),
+            counts AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s
+                       FROM strat GROUP BY stratum),
+            weights(stratum, w_s) AS (VALUES ('long', 1), ('medium', 2), ('short', 1)),
+            caps AS (
+              SELECT w.stratum, w.w_s, coalesce(c.n_s, 0) AS n_s
+              FROM weights w LEFT JOIN counts c ON c.stratum = w.stratum),
+            tt AS (SELECT min((n_s * 4) // w_s) AS t_total FROM caps),
+            quotas AS (
+              SELECT stratum, (w_s * (SELECT t_total FROM tt)) // 4 AS t_s
+              FROM caps),
+            ranked AS (
+              SELECT s.doc_id, s.stratum,
+                     row_number() OVER (
+                       PARTITION BY s.stratum
+                       ORDER BY {portable_hash64_sql("'mx:' || CAST(s.doc_id AS VARCHAR)")},
+                                s.doc_id) AS pick_rank
+              FROM strat s)
+            SELECT r.doc_id, r.stratum, CAST(r.pick_rank AS BIGINT) AS pick_rank
+            FROM ranked r JOIN quotas q ON q.stratum = r.stratum
+            WHERE r.pick_rank <= q.t_s
+        """,
+        "pack_docs": f"""
+            -- pack_sequences replica: shard = hash(id) % 8, per-shard
+            -- running token sum (HUGEINT window sum cast to BIGINT), pack =
+            -- start DIV 64 within the shard, globally keyed pack*8+part
+            WITH sized AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                     {portable_hash64_sql('CAST(doc_id AS VARCHAR)')} % 8 AS part
+              FROM documents),
+            started AS (
+              SELECT doc_id, n_tokens, part,
+                     CAST(sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS s
+              FROM sized)
+            SELECT doc_id, n_tokens, part,
+                   (s // 64) * 8 + part AS pack_id,
+                   s % 64 AS pack_offset
+            FROM started
         """,
         "vocab_topk": """
             WITH toks AS (

@@ -50,6 +50,50 @@ def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
     return df.where(h < thresh)
 
 
+def mixture_sample(df: DataFrame, targets: dict[str, int],
+                   strata_col: str = "stratum", key_col: str = "doc_id",
+                   salt: str = "m0") -> DataFrame:
+    """Largest mixture-faithful subsample: keep the maximum total T such
+    that every stratum can supply its share, then take
+    ``t_s = floor(w_s * T / W)`` rows from stratum ``s`` (integer weights
+    ``targets``, ``W = sum``). T = min over target strata of
+    ``floor(n_s * W / w_s)`` — all-integer arithmetic, so the DuckDB oracle
+    replicates it exactly. Selection within a stratum is the first ``t_s``
+    rows by (portable hash, key): reproducible, rerun- and
+    repartition-stable, no RNG.
+
+    Strata not named in ``targets`` are dropped; a target stratum absent
+    from the data bounds T at 0 (the mixture is unsatisfiable), which the
+    weights-side left join makes explicit instead of silently skewing the
+    mix. The counts/quota frames are O(|targets|) rows — broadcast joins,
+    never a shuffle of ``df`` beyond the per-stratum rank window."""
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise ValueError("targets must be non-empty positive integer weights")
+    spark = df.sparkSession
+    total_w = int(sum(targets.values()))
+    weights = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(targets.items())],
+        f"{strata_col} string, w_s long")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
+    caps = (weights.join(counts, strata_col, "left")
+            .withColumn("n_s", F.coalesce("n_s", F.lit(0)))
+            .withColumn("t_cap", F.expr(f"(n_s * {total_w}) DIV w_s")))
+    total = caps.agg(F.min("t_cap").alias("t_total"))
+    quotas = (caps.crossJoin(F.broadcast(total))
+              .withColumn("t_s", F.expr(f"(w_s * t_total) DIV {total_w}"))
+              .select(strata_col, "t_s"))
+    h = portable_hash64(F.concat(F.lit(salt + ":"),
+                                 F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    # non-target strata are dead weight — drop them BEFORE the rank
+    # window's shuffle, not after via the quota join
+    ranked = (df.where(F.col(strata_col).isin(list(targets)))
+              .withColumn("pick_rank", F.row_number().over(w)))
+    return (ranked.join(F.broadcast(quotas), strata_col)
+            .where(F.col("pick_rank") <= F.col("t_s"))
+            .drop("t_s"))
+
+
 def corpus_stats(docs: DataFrame, value_col: str = "n_chars",
                  strata_col: str = "source", id_col: str = "doc_id",
                  quantiles: tuple[float, ...] = (0.5, 0.95)) -> DataFrame:

@@ -132,3 +132,40 @@ def test_weighted_hash_sample_caps_and_proportionality(spark):
     kept = weighted_hash_sample(heavy, "wgt", base_rate=0.4,
                                 max_weight=2.0).count()
     assert kept <= n * 0.8 * 1.15  # capped at base_rate*max_weight = 0.8
+
+
+def test_mixture_sample_exact_quotas_and_determinism(spark):
+    from quadtree_block_compression_spark.operators.sampling import (
+        mixture_sample)
+    # strata sizes 100 / 300 / 50; targets 1:2:1 (W=4)
+    # T = min(100*4//1, 300*4//2, 50*4//1) = min(400, 600, 200) = 200
+    # quotas: a=200//4=50, b=2*200//4=100, c=50
+    rows = ([("a", i) for i in range(100)]
+            + [("b", 1000 + i) for i in range(300)]
+            + [("c", 5000 + i) for i in range(50)]
+            + [("ignored", 9000 + i) for i in range(40)])
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["stratum", "doc_id"]))
+    out = mixture_sample(df, {"a": 1, "b": 2, "c": 1}).toPandas()
+    got = out.groupby("stratum")["doc_id"].count().to_dict()
+    assert got == {"a": 50, "b": 100, "c": 50}
+    assert "ignored" not in set(out["stratum"])
+    assert (out.groupby("stratum")["pick_rank"].max()
+            == pd.Series({"a": 50, "b": 100, "c": 50})).all()
+    # deterministic rerun
+    out2 = mixture_sample(df, {"a": 1, "b": 2, "c": 1}).toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_mixture_sample_unsatisfiable_and_validation(spark):
+    from quadtree_block_compression_spark.operators.sampling import (
+        mixture_sample)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"stratum": ["a"] * 10, "doc_id": range(10)}))
+    # target stratum absent from the data -> T = 0 -> empty, not skewed
+    assert mixture_sample(df, {"a": 1, "missing": 1}).count() == 0
+    import pytest
+    with pytest.raises(ValueError):
+        mixture_sample(df, {})
+    with pytest.raises(ValueError):
+        mixture_sample(df, {"a": 0})
