@@ -475,6 +475,16 @@ def _fixture_dims_values(n: int) -> str:
                      for r in pdf.itertuples())
 
 
+def _caption_values(n: int) -> str:
+    """(image_id, caption) VALUES rows for the first ``n`` fixture images —
+    metadata-only constants (no pixel synthesis), single quotes escaped."""
+    from quadtree_block_compression_spark.fixtures.images import images_meta_pandas
+    pdf = images_meta_pandas(n, seed=42, max_side=128)
+    return ", ".join(
+        "('{}', '{}')".format(r.image_id, r.caption.replace("'", "''"))
+        for r in pdf.itertuples())
+
+
 def _phash_fixture_ids_values() -> str:
     """(image_id) VALUES rows for the 20-row seeded phash fixture
     (16 metadata-only fixture ids + the 4 deterministic near-dup extras
@@ -1206,6 +1216,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             phash_dedup_clusters)
         return phash_dedup_clusters(_phash_images(spark), max_hamming=10)
 
+    def image_caption_dedup(spark, sf):
+        """Cross-modal caption dedup over the images table (input_hint
+        schema): normalize captions by stripping the trailing bracketed
+        annotation, fingerprint with the portable hash, elect one canonical
+        image per caption group. Runs over the metadata-only fixture view
+        (captions are generator metadata — no pixel synthesis in a text
+        op); unicode captions (de/zh/ja + symbols) hash through md5/UTF-8
+        identically on both engines."""
+        from quadtree_block_compression_spark.fixtures.images import (
+            images_meta_pandas)
+        from quadtree_block_compression_spark.operators.dedup_images import (
+            caption_dedup)
+        meta = spark.createDataFrame(
+            images_meta_pandas(48, seed=42, max_side=128)
+            .loc[:, ["image_id", "caption"]])
+        return caption_dedup(meta)
+
     def audio_features(spark, sf):
         """Real WAV PCM decode (stdlib wave) over deterministic generated
         clips — one per nation key, varied rate/length/channels. rows-only:
@@ -1346,6 +1373,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "component_id", "component_size", "quality",
                         (F.col("_rn") == 1).alias("is_kept")))
 
+    def corpus_split(spark, sf):
+        """LEAKAGE-SAFE train/val/test split: assignment by near-dup
+        COMPONENT, not by row — every member of a connected component over
+        the LSH pair edges inherits the component's split, so no near-dup
+        pair ever straddles train/test (the eval-contamination failure mode
+        of row-wise splitting). Same exact-dedup + LSH + components prefix
+        as corpus_clean_components; the tail is one pure hash-bucket
+        projection (sampling.leakage_safe_split), zero extra shuffles."""
+        from pyspark.sql import Window
+        from quadtree_block_compression_spark.functions.cache import persist_tracked
+        from quadtree_block_compression_spark.operators.components import (
+            connected_components)
+        from quadtree_block_compression_spark.operators.sampling import (
+            leakage_safe_split)
+        (docs,) = _tables(spark, sf, "documents")
+        ann = text_analysis.annotate(docs)
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        exact = persist_tracked(
+            ann.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+        pairs = dedup_text.minhash_lsh_pairs(exact, n=_NGRAM_N, num_perm=_NUM_PERM,
+                                             bands=_BANDS, threshold=0.5,
+                                             max_bucket=_MAX_BUCKET)
+        comp = connected_components(exact, pairs)
+        return (leakage_safe_split(comp)
+                .select("doc_id", "component_id", "component_size", "split"))
+
     def pii_redact_docs(spark, sf):
         """PII scrub over the corpus. The word-soup testdata carries no PII,
         so the query SEEDS deterministic PII (emails/phones/SSNs/IPs keyed
@@ -1457,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": corpus_clean,
         "corpus_clean_components": corpus_clean_components,
         "dedup_elect_quality": dedup_elect_quality,
+        "corpus_split": corpus_split,
         "pii_redact": pii_redact_docs,
         "decontaminate": decontaminate_docs,
         "doc_repetition": doc_repetition,
@@ -1509,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid_rollup": tile_pyramid_rollup,
         "image_near_dup_phash": image_near_dup_phash,
         "image_dedup_clusters": image_dedup_clusters,
+        "image_caption_dedup": image_caption_dedup,
         "audio_features": audio_features,
         "video_frame_stats": video_frame_stats,
         "tile_range_query": tile_range_query,
@@ -2103,6 +2159,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, component_id, component_size, quality,
                    rn = 1 AS is_kept
             FROM ranked
+        """,
+        "corpus_split": f"""
+            -- same prefix as corpus_clean_components through comp; the tail
+            -- assigns train/val/test by COMPONENT via the portable hash
+            -- (hash('split0:' || component_id) mod 1e6 vs cumulative 0.8 /
+            -- 0.9 thresholds) — leakage-safe: near-dup members share a split
+            WITH RECURSIVE norm AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                         '\\s+', ' ', 'g')) AS n
+              FROM documents),
+            ann AS (
+              SELECT doc_id, text, {portable_hash64_sql('n')} AS fingerprint FROM norm),
+            exact AS (
+              SELECT * FROM (
+                SELECT doc_id, text, fingerprint,
+                       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                FROM ann) WHERE rn = 1),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(arr) - {_NGRAM_N} + 1, 0) + 1),
+                              i -> array_to_string(arr[i:i + {_NGRAM_N - 1}], ' '))) AS shingle
+                FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM exact)
+              ) WHERE length(shingle) > 0),
+            hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh),
+            sig AS (SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id),
+            bucketed0 AS (
+              SELECT DISTINCT doc_id, band, key FROM (
+                SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
+            bucketed AS (
+              SELECT b.* FROM bucketed0 b
+              JOIN (SELECT band, key FROM bucketed0
+                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
+                USING (band, key)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bucketed a JOIN bucketed b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT doc_a AS x, doc_b AS y FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i / (sa.sz + sb.sz - i) >= 0.5),
+            sym AS (SELECT x, y FROM edges UNION SELECT y, x FROM edges),
+            reach(src, node) AS (
+              SELECT doc_id, doc_id FROM exact
+              UNION
+              SELECT r.src, e.y FROM reach r JOIN sym e ON e.x = r.node),
+            comp AS (SELECT src AS doc_id, min(node) AS component_id
+                     FROM reach GROUP BY src),
+            buck AS (
+              SELECT doc_id, component_id,
+                     {portable_hash64_sql("'split0:' || component_id")} % 1000000 AS m
+              FROM comp)
+            SELECT doc_id, component_id,
+                   CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+                     AS component_size,
+                   CASE WHEN m < 800000 THEN 'train'
+                        WHEN m < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM buck
         """,
         "pii_redact": f"""
             -- identical seeding + identical Java∩RE2 patterns (interpolated
@@ -2839,6 +2970,29 @@ def oracle_sql() -> dict[str, str]:
                             "hamming BETWEEN 0 AND 10 AND image_a < image_b")
             + ")",
             id_col="image_id", a_col="image_a", b_col="image_b"),
+        "image_caption_dedup": f"""
+            -- identical normalize (strip trailing bracketed annotation) +
+            -- portable hash + window election over the metadata caption
+            -- constants; unicode captions exercise md5/UTF-8 parity
+            WITH imgs(image_id, caption) AS (VALUES {_caption_values(48)}),
+            keyed AS (
+              SELECT image_id,
+                     trim(regexp_replace(caption, '\\s*\\[[^\\]]*\\]$', ''))
+                       AS caption_norm
+              FROM imgs),
+            hashed AS (
+              SELECT image_id, caption_norm,
+                     {portable_hash64_sql('caption_norm')} AS caption_fp
+              FROM keyed)
+            SELECT image_id, caption_norm, caption_fp,
+                   CAST(count(*) OVER (PARTITION BY caption_fp) AS BIGINT)
+                     AS group_size,
+                   min(image_id) OVER (PARTITION BY caption_fp)
+                     AS canonical_id,
+                   image_id = min(image_id) OVER (PARTITION BY caption_fp)
+                     AS is_canonical
+            FROM hashed
+        """,
         # pure function of the (SF-constant) nation keys; no SQL engine can
         # decode RIFF, but the frozen output pins the decoder driver-visibly
         # PCM algebra recomputable in SQL: duration = frames/rate; the

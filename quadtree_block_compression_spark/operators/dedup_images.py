@@ -66,6 +66,32 @@ def phash_near_dup_pairs(images: DataFrame, max_hamming: int = 10,
                     "hamming"))
 
 
+def caption_dedup(images: DataFrame, id_col: str = "image_id",
+                  caption_col: str = "caption") -> DataFrame:
+    """Cross-modal dedup on the CAPTION column of the image table
+    (input_hint schema): strip a trailing bracketed annotation
+    (``... [source#123]`` boilerplate), fingerprint the normalized caption
+    with the portable hash, and elect one canonical image per caption group
+    (min id). Unicode captions hash identically on both engines (md5 over
+    UTF-8). One window shuffle on the fingerprint; no Python, no joins.
+    Returns (id, caption_norm, caption_fp, group_size, canonical_id,
+    is_canonical).
+    """
+    from pyspark.sql import Window
+    from ..functions.portable_hash import portable_hash64
+    norm = F.trim(F.regexp_replace(F.col(caption_col),
+                                   r"\s*\[[^\]]*\]$", ""))
+    keyed = images.select(
+        id_col, norm.alias("caption_norm"),
+        portable_hash64(norm).alias("caption_fp"))
+    w = Window.partitionBy("caption_fp")
+    return (keyed
+            .withColumn("group_size", F.count(F.lit(1)).over(w))
+            .withColumn("canonical_id", F.min(id_col).over(w))
+            .withColumn("is_canonical",
+                        F.col(id_col) == F.col("canonical_id")))
+
+
 def phash_dedup_clusters(images: DataFrame, max_hamming: int = 10,
                          id_col: str = "image_id",
                          hash_col: str = "phash") -> DataFrame:

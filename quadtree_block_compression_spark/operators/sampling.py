@@ -195,3 +195,45 @@ def weighted_hash_sample(df: DataFrame, weight_col: str, base_rate: float,
         F.floor(F.col(weight_col) * F.lit(float(base_rate)) * _MOD),
         F.lit(int(min(base_rate * max_weight, 1.0) * _MOD)))
     return df.where(h < thresh)
+
+
+def leakage_safe_split(members: DataFrame,
+                       fractions: tuple[tuple[str, float], ...] = (
+                           ("train", 0.8), ("val", 0.1), ("test", 0.1)),
+                       group_col: str = "component_id",
+                       salt: str = "split0") -> DataFrame:
+    """Train/val/test assignment by GROUP, not by row.
+
+    Splitting a deduplicated corpus row-wise leaks: two near-duplicate
+    documents land in train and test and the eval set is contaminated. The
+    production rule is to split by the near-dup COMPONENT — every member of
+    a group inherits the group's split, so no near-dup pair ever straddles
+    a boundary. Assignment is the same portable-hash bucketing the samplers
+    use (``hash(salt:group) mod 1e6`` against cumulative fraction
+    thresholds): deterministic across reruns and engines, stable under
+    repartitioning, one pure projection — zero joins, zero shuffles beyond
+    what produced ``group_col``.
+
+    ``fractions`` is an ordered (label, fraction) tuple; fractions quantize
+    to 1e-6 and must sum to ≤ 1 (a shortfall becomes the last label, which
+    keeps the common (0.8, 0.1, 0.1) spec exact).
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    fracs = [(str(lbl), float(fr)) for lbl, fr in fractions]
+    if any(fr < 0 for _, fr in fracs):
+        raise ValueError("fractions must be non-negative")
+    if sum(fr for _, fr in fracs) > 1.0 + 1e-9:
+        raise ValueError("fractions sum to more than 1")
+    h = F.pmod(portable_hash64(F.concat(F.lit(salt + ":"),
+                                        F.col(group_col).cast("string"))),
+               F.lit(_MOD))
+    cum = 0
+    expr = F.lit(fracs[-1][0])  # shortfall / tail bucket → last label
+    cases: list[tuple[str, int]] = []
+    for lbl, fr in fracs[:-1]:
+        cum += int(fr * _MOD)
+        cases.append((lbl, cum))
+    for lbl, threshold in reversed(cases):
+        expr = F.when(h < F.lit(threshold), F.lit(lbl)).otherwise(expr)
+    return members.withColumn("split", expr)

@@ -83,3 +83,36 @@ def test_phash_near_dup_plan_jvm_only(spark):
         pd.DataFrame({"image_id": ["x", "y"], "phash": [1, 2]}))
     plan = phash_near_dup_pairs(images)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+def test_caption_dedup_normalize_election_unicode(spark):
+    """Trailing bracketed annotation is stripped (only at end-of-string),
+    groups elect the min image id, unicode captions group correctly, and
+    the plan stays JVM-only."""
+    from quadtree_block_compression_spark.operators.dedup_images import (
+        caption_dedup)
+    rows = [
+        ("i3", "a red fox jumps [source#12]"),
+        ("i1", "a red fox jumps [crawl-2024]"),
+        ("i2", "a red fox jumps"),
+        ("i4", "[lead] bracket not trailing"),
+        ("i5", "ein roter Fuchs 赤狐 [x]"),
+        ("i6", "ein roter Fuchs 赤狐"),
+        ("i7", "unique caption"),
+    ]
+    images = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "caption"]))
+    df = caption_dedup(images)
+    out = {r.image_id: r for r in df.collect()}
+    assert len(out) == 7
+    for i in ("i1", "i2", "i3"):
+        assert out[i].caption_norm == "a red fox jumps"
+        assert out[i].canonical_id == "i1"
+        assert out[i].group_size == 3
+        assert out[i].is_canonical == (i == "i1")
+    # leading bracket untouched; only a TRAILING annotation is boilerplate
+    assert out["i4"].caption_norm == "[lead] bracket not trailing"
+    assert out["i5"].caption_norm == out["i6"].caption_norm
+    assert out["i5"].canonical_id == "i5" and out["i5"].group_size == 2
+    assert out["i7"].group_size == 1 and out["i7"].is_canonical
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

@@ -169,3 +169,46 @@ def test_mixture_sample_unsatisfiable_and_validation(spark):
         mixture_sample(df, {})
     with pytest.raises(ValueError):
         mixture_sample(df, {"a": 0})
+
+
+def test_leakage_safe_split_groups_never_straddle(spark):
+    """Every member of a group gets the group's split (no near-dup pair can
+    straddle train/test), labels are deterministic across reruns, the
+    three-way fractions land near spec over many groups, and invalid
+    fraction specs raise."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+    from quadtree_block_compression_spark.operators.sampling import (
+        leakage_safe_split)
+    rows = [(f"d{i:04d}", f"c{i % 400:04d}") for i in range(1200)]
+    members = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "component_id"]))
+    out = leakage_safe_split(members)
+    # one split per group — members inherit it
+    straddle = (out.groupBy("component_id")
+                .agg(F.countDistinct("split").alias("n"))
+                .filter("n > 1").count())
+    assert straddle == 0
+    # deterministic across invocations
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in leakage_safe_split(members).collect()}
+    assert a == b
+    # fractions near spec at the GROUP level (400 groups, hash-binomial)
+    by = {r.split: r.n for r in
+          (out.select("component_id", "split").distinct()
+           .groupBy("split").agg(F.count("*").alias("n")).collect())}
+    assert set(by) == {"train", "val", "test"}
+    assert 0.7 <= by["train"] / 400 <= 0.9
+    assert 0.05 <= by["val"] / 400 <= 0.16
+    assert 0.05 <= by["test"] / 400 <= 0.16
+    # a different salt reshuffles assignments (decorrelated splits)
+    c = {(r.doc_id, r.split) for r in
+         leakage_safe_split(members, salt="split1").collect()}
+    assert a != c
+    with pytest.raises(ValueError):
+        leakage_safe_split(members, fractions=())
+    with pytest.raises(ValueError):
+        leakage_safe_split(members, fractions=(("a", 0.7), ("b", 0.4)))
+    with pytest.raises(ValueError):
+        leakage_safe_split(members, fractions=(("a", -0.1), ("b", 0.5)))
