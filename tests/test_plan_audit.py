@@ -24,3 +24,25 @@ def test_all_plan_properties_hold(spark):
                     "spatial_distance_join", "events_asof_join",
                     "corpus_weighted_sample", "tile_pyramid"):
         assert f"## {section}" in text, section
+
+
+def test_partitionless_window_detector(spark):
+    """The sweep's detector flags a genuinely partitionless (ordered)
+    window, and does NOT flag partition-only or partition+order windows."""
+    import pandas as pd
+    from pyspark.sql import Window, functions as F
+    from tools.plan_audit import partitionless_windows
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b"], "v": [1, 2]}))
+
+    def plan(d):
+        return d._jdf.queryExecution().executedPlan().toString()
+
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("v")))
+    assert partitionless_windows(plan(bad)), "ordered-no-partition missed"
+    ok1 = df.withColumn("n", F.count("*").over(Window.partitionBy("k")))
+    assert partitionless_windows(plan(ok1)) == []
+    ok2 = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("k").orderBy("v")))
+    assert partitionless_windows(plan(ok2)) == []
