@@ -496,6 +496,21 @@ def _phash_fixture_ids_values() -> str:
     return ", ".join(f"('{i}')" for i in ids + extras)
 
 
+def _phash_fixture_caption_values() -> str:
+    """(image_id, caption) VALUES rows for the 20-row seeded phash fixture —
+    base captions are generator metadata constants; the 4 extras carry their
+    source row's caption verbatim, mirroring ``_phash_images`` exactly."""
+    from quadtree_block_compression_spark.fixtures.images import images_meta_pandas
+    pdf = images_meta_pandas(16, seed=42, max_side=128)
+    rows = list(zip(pdf["image_id"], pdf["caption"]))
+    by_id = dict(rows)
+    ids = list(pdf["image_id"])
+    extras = ([(ids[0] + "_copy", by_id[ids[0]])]
+              + [(ids[i] + "_v2", by_id[ids[i]]) for i in (2, 7, 11)])
+    return ", ".join("('{}', '{}')".format(i, c.replace("'", "''"))
+                     for i, c in rows + extras)
+
+
 def _archive_meta_values() -> str:
     """(image_id, w, h, tree_height) VALUES rows for the 8 fixture images —
     deterministic pure-function constants, same pattern as PERMS_16."""
@@ -1175,18 +1190,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum(F.col("is_symlink").cast("int")).alias("n_symlinks")))
 
     def _phash_images(spark):
-        """Seeded near-dup image fixture shared by the two phash queries:
+        """Seeded near-dup image fixture shared by the phash queries:
         the 16 fixture images plus an exact re-encode of row 0 (hamming 0)
         and ±1-noise perturbations of the textured rows (noise/checker
         classes have stable pHashes under small perturbation; flat classes
-        do not). Returns a 20-row (image_id, phash) DataFrame."""
+        do not). Extras carry their source row's caption verbatim (a copy
+        keeps its caption), so the multimodal query grades both evidence
+        channels. Returns a 20-row (image_id, phash, caption) DataFrame."""
         import numpy as np
         import pandas as pd
         from quadtree_block_compression_spark.kernels.codecs import decode_image
         from quadtree_block_compression_spark.kernels.phash import phash64
         base = _fixture_images(spark, 16).toPandas()
         extra = [{"image_id": base.iloc[0]["image_id"] + "_copy",
-                  "phash": int(base.iloc[0]["phash"])}]
+                  "phash": int(base.iloc[0]["phash"]),
+                  "caption": base.iloc[0]["caption"]}]
         rng = np.random.default_rng(99)
         for i in (2, 7, 11):  # checker_1, noise, checker_1 class rows
             row = base.iloc[i]
@@ -1194,9 +1212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pert = np.clip(img.astype(np.int16)
                            + rng.integers(-1, 2, img.shape), 0, 255).astype(np.uint8)
             extra.append({"image_id": row["image_id"] + "_v2",
-                          "phash": int(phash64(pert))})
-        pdf = pd.concat([base[["image_id", "phash"]], pd.DataFrame(extra)],
-                        ignore_index=True)
+                          "phash": int(phash64(pert)),
+                          "caption": row["caption"]})
+        pdf = pd.concat([base[["image_id", "phash", "caption"]],
+                         pd.DataFrame(extra)], ignore_index=True)
         return spark.createDataFrame(pdf)
 
     def image_near_dup_phash(spark, sf):
@@ -1215,6 +1234,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from quadtree_block_compression_spark.operators.dedup_images import (
             phash_dedup_clusters)
         return phash_dedup_clusters(_phash_images(spark), max_hamming=10)
+
+    def multimodal_dedup_clusters_q(spark, sf):
+        """JOINT image dedup: components over pHash pair edges ∪
+        same-normalized-caption star edges on the 20-row seeded fixture —
+        the cross-modal merge grades transitively (a pixel-near pair and a
+        caption-equal pair sharing a node collapse into one cluster).
+        Oracle: recursive CTE over the frozen phash pair snapshot UNION
+        caption edges derived in SQL from the metadata caption constants."""
+        from quadtree_block_compression_spark.operators.dedup_images import (
+            multimodal_dedup_clusters)
+        return multimodal_dedup_clusters(_phash_images(spark), max_hamming=10)
 
     def image_caption_dedup(spark, sf):
         """Cross-modal caption dedup over the images table (input_hint
@@ -1565,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup_phash": image_near_dup_phash,
         "image_dedup_clusters": image_dedup_clusters,
         "image_caption_dedup": image_caption_dedup,
+        "multimodal_dedup_clusters": multimodal_dedup_clusters_q,
         "audio_features": audio_features,
         "video_frame_stats": video_frame_stats,
         "tile_range_query": tile_range_query,
@@ -2969,6 +3000,28 @@ def oracle_sql() -> dict[str, str]:
             + _snapshot_sql("image_near_dup_phash",
                             "hamming BETWEEN 0 AND 10 AND image_a < image_b")
             + ")",
+            id_col="image_id", a_col="image_a", b_col="image_b"),
+        # joint components over BOTH edge channels: the frozen phash pair
+        # snapshot UNION ALL caption star-edges derived in SQL (normalize →
+        # min-id canonical per non-empty group) — transitive cross-modal
+        # merges grade against fully independent relational semantics
+        "multimodal_dedup_clusters": components_recursive_sql(
+            f"SELECT i AS image_id FROM (VALUES {_phash_fixture_ids_values()})"
+            " AS m(i)",
+            "SELECT image_a, image_b FROM ("
+            + _snapshot_sql("image_near_dup_phash",
+                            "hamming BETWEEN 0 AND 10 AND image_a < image_b")
+            + """)
+            UNION ALL
+            SELECT canon AS image_a, image_id AS image_b FROM (
+              SELECT image_id, cn, min(image_id) OVER (PARTITION BY cn) AS canon
+              FROM (SELECT image_id,
+                           trim(regexp_replace(caption, '\\s*\\[[^\\]]*\\]$', ''))
+                             AS cn
+                    FROM (VALUES """ + _phash_fixture_caption_values() + """)
+                         AS c(image_id, caption))
+              WHERE cn <> '')
+            WHERE image_id <> canon""",
             id_col="image_id", a_col="image_a", b_col="image_b"),
         "image_caption_dedup": f"""
             -- identical normalize (strip trailing bracketed annotation) +

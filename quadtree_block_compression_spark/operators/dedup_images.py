@@ -107,3 +107,35 @@ def phash_dedup_clusters(images: DataFrame, max_hamming: int = 10,
                                  id_col=id_col, hash_col=hash_col)
     return connected_components(images, pairs, id_col=id_col,
                                 a_col="image_a", b_col="image_b")
+
+
+def multimodal_dedup_clusters(images: DataFrame, max_hamming: int = 10,
+                              id_col: str = "image_id",
+                              hash_col: str = "phash",
+                              caption_col: str = "caption") -> DataFrame:
+    """JOINT image dedup over both evidence channels of the input table:
+    edges = pHash near-dup pairs (pixels) ∪ same-normalized-caption pairs
+    (text), connected components over the union — the LAION-style rule
+    where a re-encoded image and a re-captioned image both collapse into
+    one cluster, including transitively (A ≈pixels B, B =caption C ⇒ one
+    component {A,B,C}).
+
+    Caption evidence enters as STAR edges (group canonical → member), which
+    yields identical components to the full clique while staying linear in
+    group size — a 10^6-member boilerplate-caption group contributes 10^6−1
+    edges, not 10^12/2. Rows whose normalized caption is EMPTY contribute
+    no caption edges (an untitled image is not evidence of duplication).
+    Returns (``id_col``, component_id, component_size, is_canonical).
+    """
+    from .components import connected_components
+    ph = (phash_near_dup_pairs(images, max_hamming=max_hamming,
+                               id_col=id_col, hash_col=hash_col)
+          .select(F.col("image_a").alias("a"), F.col("image_b").alias("b")))
+    cap = caption_dedup(images, id_col=id_col, caption_col=caption_col)
+    cap_edges = (cap.filter(~F.col("is_canonical")
+                            & (F.col("caption_norm") != ""))
+                 .select(F.col("canonical_id").alias("a"),
+                         F.col(id_col).alias("b")))
+    edges = ph.unionByName(cap_edges)
+    return connected_components(images, edges, id_col=id_col,
+                                a_col="a", b_col="b")

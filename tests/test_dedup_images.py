@@ -116,3 +116,32 @@ def test_caption_dedup_normalize_election_unicode(spark):
     assert out["i7"].group_size == 1 and out["i7"].is_canonical
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_multimodal_clusters_union_and_transitivity(spark):
+    """Joint dedup merges via EITHER channel and transitively across them:
+    a–b pixel-near (caption empty), b absent… specifically: x–y by phash
+    only, y–z by caption only ⇒ one component {x,y,z}; empty normalized
+    captions contribute no edges; unrelated rows stay singletons."""
+    from quadtree_block_compression_spark.operators.dedup_images import (
+        multimodal_dedup_clusters)
+    rows = [
+        # x ≈phash y (hamming 2), captions differ after normalize
+        ("x", 0x0, "alpha view [a]"),
+        ("y", 0x3, "beta view [b]"),
+        # z shares y's normalized caption, phash far from both
+        ("z", 0x00FF00FF00FF00FF, "beta view [c]"),
+        # empty captions: near-identical caption state, far phash — singleton
+        ("e1", -6148914691236517206, ""),
+        ("e2", 0x7530000012345678, "   [only-bracket]"),
+    ]
+    images = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "phash", "caption"]))
+    out = {r.image_id: r for r in
+           multimodal_dedup_clusters(images, max_hamming=10).collect()}
+    assert len(out) == 5
+    for i in ("x", "y", "z"):
+        assert out[i].component_id == "x" and out[i].component_size == 3
+        assert out[i].is_canonical == (i == "x")
+    for i in ("e1", "e2"):
+        assert out[i].component_id == i and out[i].component_size == 1
