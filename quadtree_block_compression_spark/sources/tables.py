@@ -49,3 +49,83 @@ def load_images_binary_files(spark: SparkSession, glob_path: str) -> DataFrame:
 
     return raw.mapInPandas(meta, "image_id string, bytes binary, w int, h int, "
                                  "fmt string, caption string, phash long")
+
+
+# ------------------------------------------------------- versioned tables --
+# Iceberg-lite: the three snapshot semantics the north rule's "Iceberg
+# tables" imply — manifest-published commits (readers never see unpublished
+# data files), time travel (read any past snapshot), and snapshot-pinned
+# schema — over plain parquet + JSON manifests. Swapping to real Iceberg
+# replaces these three functions with `df.writeTo(...)` / `VERSION AS OF`;
+# every caller keeps its shape.
+
+def _manifest_versions(path: str) -> list[int]:
+    import os, re
+    if not os.path.isdir(path):
+        return []
+    return sorted(int(m.group(1)) for f in os.listdir(path)
+                  if (m := re.fullmatch(r"v(\d+)\.json", f)))
+
+
+def table_versions(path: str) -> list[int]:
+    """Published snapshot numbers of a versioned table (ascending)."""
+    return _manifest_versions(path)
+
+
+def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new snapshot of the versioned table at ``path``.
+
+    Data files land in ``path/data/s<n>/`` first; the snapshot only becomes
+    visible when ``v<n>.json`` (file list + schema) is published via
+    write-tmp-then-rename — a reader can never observe a half-written
+    snapshot, and an orphaned data directory (e.g. a crashed writer) is
+    invisible forever. ``mode="append"`` carries the previous snapshot's
+    files forward; ``mode="overwrite"`` starts the file list fresh (old
+    snapshots stay readable — nothing is deleted). Returns the new snapshot
+    number."""
+    import glob as _glob
+    import json
+    import os
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    versions = _manifest_versions(path)
+    n = (versions[-1] if versions else 0) + 1
+    data_dir = os.path.join(path, "data", f"s{n}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    new_files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
+    files = new_files
+    if mode == "append" and versions:
+        with open(os.path.join(path, f"v{versions[-1]}.json")) as fh:
+            files = json.load(fh)["files"] + new_files
+    manifest = {"snapshot": n, "files": files,
+                "schema": json.loads(df.schema.json())}
+    tmp = os.path.join(path, f".v{n}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(path, f"v{n}.json"))
+    return n
+
+
+def read_versioned(spark: SparkSession, path: str,
+                   version: int | None = None) -> DataFrame:
+    """Read a snapshot of a versioned table (latest when ``version`` is
+    None). Only manifested files are scanned, with the schema PINNED from
+    the manifest — rows and columns committed after the snapshot are
+    invisible, matching Iceberg ``VERSION AS OF``. An empty snapshot reads
+    as an empty DataFrame with the committed schema."""
+    import json
+    import os
+    from pyspark.sql.types import StructType
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no published snapshots at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"snapshot {version} not in {versions}")
+    with open(os.path.join(path, f"v{version}.json")) as fh:
+        manifest = json.load(fh)
+    schema = StructType.fromJson(manifest["schema"])
+    if not manifest["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*manifest["files"])
