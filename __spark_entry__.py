@@ -1965,8 +1965,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": f"""
             WITH norm AS (
               SELECT doc_id, text,
-                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
-                                         '\s+', ' ', 'g')) AS n
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                         '\\s+', ' ', 'g')) AS n
               FROM documents),
             ann AS (
               SELECT doc_id, text, {portable_hash64_sql('n')} AS fingerprint FROM norm),
@@ -1980,7 +1980,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(list_transform(range(1, greatest(len(arr) - {_NGRAM_N} + 1, 0) + 1),
                               i -> array_to_string(arr[i:i + {_NGRAM_N - 1}], ' '))) AS shingle
-                FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr FROM exact)
+                FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM exact)
               ) WHERE length(shingle) > 0),
             hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh),
             sig AS (SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id),
@@ -2020,12 +2020,12 @@ def oracle_sql() -> dict[str, str]:
             quality AS (
               SELECT doc_id,
                 CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.3 END
-                * CASE WHEN length(regexp_replace(text, '[^\.,;:!\?''\"]', '', 'g'))
+                * CASE WHEN length(regexp_replace(text, '[^\\.,;:!\\?''\"]', '', 'g'))
                             / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END
-                * CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                * CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                         w -> list_contains(['the','a','and','of','to','in','is','that','for','it'], w)))
                         / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-                                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+                                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
                                    1) >= 0.05
                        THEN 1.0 ELSE 0.6 END AS q
               FROM kept),
@@ -2036,9 +2036,9 @@ def oracle_sql() -> dict[str, str]:
                      WHEN s_en >= s_fr THEN 'en' ELSE 'fr' END AS lang_pred
               FROM (
                 SELECT doc_id,
-                  round(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], x))) / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1), 6) AS s_de,
-                  round(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains(['the','a','and','of','to','in','is','that','for','it'], x))) / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1), 6) AS s_en,
-                  round(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains(['le','la','les','et','est','un','une','pas','pour','que'], x))) / greatest(len(regexp_split_to_array(lower(text), '\s+')), 1), 6) AS s_fr
+                  round(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], x))) / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1), 6) AS s_de,
+                  round(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> list_contains(['the','a','and','of','to','in','is','that','for','it'], x))) / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1), 6) AS s_en,
+                  round(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> list_contains(['le','la','les','et','est','un','une','pas','pour','que'], x))) / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1), 6) AS s_fr
                 FROM kept) k)
             SELECT k.doc_id, k.fingerprint, CAST(round(q.q, 6) AS DOUBLE) AS quality, l.lang_pred
             FROM kept k JOIN quality q ON k.doc_id = q.doc_id
