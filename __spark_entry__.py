@@ -511,16 +511,20 @@ def _phash_fixture_caption_values() -> str:
                      for i, c in rows + extras)
 
 
-def _versioned_v1_values() -> str:
-    """(image_id, w, h, caption) VALUES rows for snapshot 1 of the
-    versioned-table gate (first 8 fixture meta rows — pure generator
-    constants, no pixel synthesis)."""
+def _versioned_values(lo: int, hi: int) -> str:
+    """(image_id, w, h, caption) VALUES rows [lo, hi) of the versioned-table
+    gates' fixture (pure generator constants, no pixel synthesis)."""
     from quadtree_block_compression_spark.fixtures.images import images_meta_pandas
-    pdf = images_meta_pandas(8, seed=42, max_side=128)
+    pdf = images_meta_pandas(hi, seed=42, max_side=128).iloc[lo:]
     return ", ".join(
         "('{}', {}, {}, '{}')".format(r.image_id, int(r.w), int(r.h),
                                       r.caption.replace("'", "''"))
         for r in pdf.itertuples())
+
+
+def _versioned_v1_values() -> str:
+    """Snapshot-1 rows (first 8 fixture meta rows) of the versioned gate."""
+    return _versioned_values(0, 8)
 
 
 def _archive_meta_values() -> str:
@@ -1223,6 +1227,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .agg(F.count("*").alias("latest_rows")))
         return v1.crossJoin(latest_n)
 
+    def versioned_incremental(spark, sf):
+        """Iceberg-style incremental read, graded: commit snapshot 1 (first
+        8 fixture meta rows), append snapshot 2 (the next 8), then read the
+        DIFF 1→2 — pure manifest-file subtraction, so only the appended
+        files are scanned. Exactly the appended rows (no old rows rescanned,
+        no new rows lost) or the gate mismatches. Oracle: the snapshot-2
+        generator constants."""
+        import tempfile
+        from quadtree_block_compression_spark.fixtures.images import (
+            images_meta_pandas)
+        from quadtree_block_compression_spark.sources.tables import (
+            versioned_diff, write_versioned)
+        meta = images_meta_pandas(16, seed=42, max_side=128)
+        path = tempfile.mkdtemp(prefix="qbcs_vdiff_")
+        write_versioned(spark.createDataFrame(meta.iloc[:8]), path)
+        write_versioned(spark.createDataFrame(meta.iloc[8:]), path,
+                        mode="append")
+        return versioned_diff(spark, path, 1, 2)
+
     def _phash_images(spark):
         """Seeded near-dup image fixture shared by the phash queries:
         the 16 fixture images plus an exact re-encode of row 0 (hamming 0)
@@ -1631,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_dedup": image_caption_dedup,
         "multimodal_dedup_clusters": multimodal_dedup_clusters_q,
         "versioned_read": versioned_read,
+        "versioned_incremental": versioned_incremental,
         "audio_features": audio_features,
         "video_frame_stats": video_frame_stats,
         "tile_range_query": tile_range_query,
@@ -3044,6 +3068,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
                    caption, CAST(16 AS BIGINT) AS latest_rows
             FROM (VALUES {_versioned_v1_values()}) AS m(image_id, w, h, caption)
+        """,
+        # incremental read 1→2 must surface EXACTLY the appended rows —
+        # an old file rescanned, or an appended file missed, mismatches
+        "versioned_incremental": f"""
+            SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+                   caption
+            FROM (VALUES {_versioned_values(8, 16)}) AS m(image_id, w, h, caption)
         """,
         # joint components over BOTH edge channels: the frozen phash pair
         # snapshot UNION ALL caption star-edges derived in SQL (normalize →

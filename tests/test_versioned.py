@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from quadtree_block_compression_spark.sources.tables import (
-    read_versioned, table_versions, write_versioned)
+    read_versioned, table_versions, versioned_diff, write_versioned)
 
 
 def _df(spark, ids):
@@ -64,6 +64,84 @@ def test_schema_pinned_per_snapshot(spark, tmp_path):
     assert [r.k for r in old.collect()] == [1]
     new = read_versioned(spark, path, 2)
     assert new.columns == ["k", "v", "extra"]
+
+
+def test_versioned_diff_is_incremental_read(spark, tmp_path):
+    """Diff between two snapshots = exactly the appended rows, computed
+    from manifest file lists alone (the pre-diff snapshots' data files are
+    never scanned — Iceberg's incremental append scan)."""
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark, [1, 2]), path)
+    write_versioned(_df(spark, [3]), path, mode="append")
+    write_versioned(_df(spark, [4, 5]), path, mode="append")
+    assert sorted(r.k for r in
+                  versioned_diff(spark, path, 1, 3).collect()) == [3, 4, 5]
+    assert sorted(r.k for r in
+                  versioned_diff(spark, path, 2).collect()) == [4, 5]  # to=latest
+    # from_version=0 = "before the first commit": the whole snapshot
+    assert sorted(r.k for r in
+                  versioned_diff(spark, path, 0, 2).collect()) == [1, 2, 3]
+    # same-version diff is empty but carries the committed schema
+    empty = versioned_diff(spark, path, 2, 2)
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+    with pytest.raises(ValueError):
+        versioned_diff(spark, path, 3, 2)  # backwards
+    with pytest.raises(ValueError):
+        versioned_diff(spark, path, 1, 9)  # unknown snapshot
+
+
+def test_versioned_diff_refuses_overwrite_lineage(spark, tmp_path):
+    """An overwrite between the two snapshots rewrote history; file-list
+    subtraction would silently misreport — must raise instead."""
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark, [1, 2]), path)
+    write_versioned(_df(spark, [9]), path, mode="overwrite")
+    with pytest.raises(ValueError, match="not an append"):
+        versioned_diff(spark, path, 1, 2)
+    # but appends AFTER the overwrite diff fine against it
+    write_versioned(_df(spark, [10]), path, mode="append")
+    assert sorted(r.k for r in
+                  versioned_diff(spark, path, 2, 3).collect()) == [10]
+
+
+def test_versioned_diff_feeds_incremental_dedup(spark, tmp_path):
+    """The 100 TB ingest shape end-to-end: corpus lives in a versioned
+    table, the dedup index is built ONCE from snapshot 1, a batch is
+    appended as snapshot 2, and ONLY `versioned_diff(1, 2)` — the new
+    files — is shingled and classified against the index at rest. The
+    classification must equal the direct DataFrame form over the same
+    logical frames (nothing about the versioned route may leak into the
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    from quadtree_block_compression_spark.operators.dedup_text import (
+        dedup_incremental, dedup_incremental_indexed, dedup_index_write)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.where("doc_id < 30").select("doc_id", "text")
+    batch = (docs.where("doc_id < 3")
+             .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+             .unionByName(docs.where("doc_id >= 30")
+                          .select("doc_id", "text")))
+    path = str(tmp_path / "corpus_tbl")
+    assert write_versioned(corpus, path) == 1
+    idx = str(tmp_path / "dedup_index")
+    dedup_index_write(read_versioned(spark, path, 1), idx,
+                      n=3, num_perm=8, bands=4)
+    assert write_versioned(batch, path, mode="append") == 2
+
+    delta = versioned_diff(spark, path, 1, 2)
+    # the diff IS the batch — no old rows rescanned, no new rows lost
+    assert delta.exceptAll(batch).isEmpty() and batch.exceptAll(delta).isEmpty()
+    got = {r.doc_id: (r.dup_tier, r.dup_of) for r in
+           dedup_incremental_indexed(spark, idx, delta, n=3, num_perm=8,
+                                     bands=4, threshold=0.5,
+                                     max_bucket=100).collect()}
+    want = {r.doc_id: (r.dup_tier, r.dup_of) for r in
+            dedup_incremental(batch, corpus, n=3, num_perm=8, bands=4,
+                              threshold=0.5, max_bucket=100).collect()}
+    assert got == want
+    assert sum(1 for t, _ in got.values() if t == "exact") == 3
 
 
 def test_empty_snapshot_reads_with_schema(spark, tmp_path):
