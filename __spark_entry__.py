@@ -527,6 +527,46 @@ def _versioned_v1_values() -> str:
     return _versioned_values(0, 8)
 
 
+def _boilerplate_fixture() -> list[tuple[int, list[str]]]:
+    """(doc_id, lines) for the boilerplate-removal gate — pure constants
+    exercising every semantic edge: case-variant boilerplate (normalization
+    merges them), padded boilerplate (trim matches, the padded original is
+    what gets removed), blank lines (always kept), in-document repetition
+    (df counts DISTINCT docs → kept), and one all-boilerplate document
+    (clean_text must go empty, not null)."""
+    B0 = "Subscribe to our newsletter!"
+    B1 = "ALL RIGHTS RESERVED"
+    B2 = "This site uses cookies."
+    docs: list[tuple[int, list[str]]] = []
+    for d in range(12):
+        lines = [f"doc {d} headline about topic {d % 5}"]
+        if d % 2 == 0:  # 6 docs: alternating case variants of B0
+            lines.append(B0 if d % 4 == 0 else B0.lower())
+        lines.append(f"unique body sentence {d} alpha")
+        if d % 3 == 0:  # 4 docs: B1 exact / padded / title-cased
+            lines.append({0: B1, 3: f"  {B1}  ", 6: B1.title(),
+                          9: B1}[d % 12] if d in (0, 3, 6, 9)
+                         else B1)
+        if d == 5:  # in-doc repetition: df=1, stays content
+            lines += ["lorem ipsum repeated locally",
+                      "lorem ipsum repeated locally"]
+        if d % 4 == 1:  # blank line, always kept
+            lines.append("")
+        if d >= 10:
+            lines.append(B2)
+        docs.append((d, lines))
+    docs.append((12, [B0, B2]))  # all boilerplate → clean_text ''
+    return docs
+
+
+def _boilerplate_line_values() -> str:
+    """(doc_id, pos, line) VALUES rows of the boilerplate fixture."""
+    return ", ".join(
+        "({}, {}, '{}')".format(d, p, ln.replace("'", "''"))
+        for d, lines in _boilerplate_fixture()
+        for p, ln in enumerate(lines))
+
+
 def _archive_meta_values() -> str:
     """(image_id, w, h, tree_height) VALUES rows for the 8 fixture images —
     deterministic pure-function constants, same pattern as PERMS_16."""
@@ -1246,6 +1286,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         mode="append")
         return versioned_diff(spark, path, 1, 2)
 
+    def boilerplate_removal(spark, sf):
+        """Cross-document line dedup (CCNet-style boilerplate strip) over
+        the constant fixture: lines recurring in ≥2 documents (normalized
+        trim+lower) are removed from every document, original order
+        preserved. Oracle: identical df-count + redaction SQL over the
+        same (doc_id, pos, line) constants."""
+        from quadtree_block_compression_spark.operators.boilerplate import (
+            remove_boilerplate_lines)
+        rows = [(d, "\n".join(lines)) for d, lines in _boilerplate_fixture()]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return remove_boilerplate_lines(docs, min_df=2)
+
     def _phash_images(spark):
         """Seeded near-dup image fixture shared by the phash queries:
         the 16 fixture images plus an exact re-encode of row 0 (hamming 0)
@@ -1655,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup_clusters": multimodal_dedup_clusters_q,
         "versioned_read": versioned_read,
         "versioned_incremental": versioned_incremental,
+        "boilerplate_removal": boilerplate_removal,
         "audio_features": audio_features,
         "video_frame_stats": video_frame_stats,
         "tile_range_query": tile_range_query,
@@ -3075,6 +3128,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
                    caption
             FROM (VALUES {_versioned_values(8, 16)}) AS m(image_id, w, h, caption)
+        """,
+        # same df-count + redaction semantics over the same line constants:
+        # df counts DISTINCT docs on the NORMALIZED line (blank lines never
+        # boilerplate), removal drops the ORIGINAL lines, order preserved,
+        # all-boilerplate docs go to '' (never NULL)
+        "boilerplate_removal": f"""
+            WITH l AS (SELECT * FROM (VALUES {_boilerplate_line_values()})
+                       AS t(doc_id, pos, line)),
+            b AS (SELECT nline FROM (
+                    SELECT trim(lower(line)) AS nline,
+                           count(DISTINCT doc_id) AS df
+                    FROM l WHERE trim(lower(line)) <> '' GROUP BY 1)
+                  WHERE df >= 2),
+            j AS (SELECT doc_id, pos, line,
+                         trim(lower(line)) IN (SELECT nline FROM b)
+                           AS is_boiler
+                  FROM l)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(is_boiler AS INT)) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                       chr(10) ORDER BY pos), '')
+                     AS clean_text
+            FROM j GROUP BY doc_id
         """,
         # joint components over BOTH edge channels: the frozen phash pair
         # snapshot UNION ALL caption star-edges derived in SQL (normalize →
