@@ -567,6 +567,33 @@ def _boilerplate_line_values() -> str:
         for p, ln in enumerate(lines))
 
 
+def _boilerplate_oracle_sql(lines_cte: str, min_df: int = 2) -> str:
+    """df-count + redaction oracle over an ``l(doc_id, pos, line)`` CTE —
+    shared by the fixture gate and the real-documents gate: df counts
+    DISTINCT docs on the NORMALIZED line (blanks never boilerplate),
+    removal drops the ORIGINAL lines, order preserved, all-boilerplate
+    docs go to '' (never NULL)."""
+    return f"""
+        WITH l AS ({lines_cte}),
+        b AS (SELECT nline FROM (
+                SELECT trim(lower(line)) AS nline,
+                       count(DISTINCT doc_id) AS df
+                FROM l WHERE trim(lower(line)) <> '' GROUP BY 1)
+              WHERE df >= {min_df}),
+        j AS (SELECT doc_id, pos, line,
+                     trim(lower(line)) IN (SELECT nline FROM b)
+                       AS is_boiler
+              FROM l)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(is_boiler AS INT)) AS BIGINT) AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                   chr(10) ORDER BY pos), '')
+                 AS clean_text
+        FROM j GROUP BY doc_id
+    """
+
+
 def _archive_meta_values() -> str:
     """(image_id, w, h, tree_height) VALUES rows for the 8 fixture images —
     deterministic pure-function constants, same pattern as PERMS_16."""
@@ -1298,6 +1325,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         return remove_boilerplate_lines(docs, min_df=2)
 
+    def boilerplate_docs(spark, sf):
+        """Boilerplate strip over the REAL documents table — an exact
+        identity on the all-distinct single-line corpus, so the gate pins
+        the whole explode→df-count→join→rebuild round trip (order,
+        whitespace, counts) at table scale."""
+        from quadtree_block_compression_spark.operators.boilerplate import (
+            remove_boilerplate_lines)
+        (docs,) = _tables(spark, sf, "documents")
+        return remove_boilerplate_lines(docs.select("doc_id", "text"),
+                                        min_df=2)
+
     def _phash_images(spark):
         """Seeded near-dup image fixture shared by the phash queries:
         the 16 fixture images plus an exact re-encode of row 0 (hamming 0)
@@ -1708,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "versioned_read": versioned_read,
         "versioned_incremental": versioned_incremental,
         "boilerplate_removal": boilerplate_removal,
+        "boilerplate_docs": boilerplate_docs,
         "audio_features": audio_features,
         "video_frame_stats": video_frame_stats,
         "tile_range_query": tile_range_query,
@@ -3129,30 +3168,18 @@ def oracle_sql() -> dict[str, str]:
                    caption
             FROM (VALUES {_versioned_values(8, 16)}) AS m(image_id, w, h, caption)
         """,
-        # same df-count + redaction semantics over the same line constants:
-        # df counts DISTINCT docs on the NORMALIZED line (blank lines never
-        # boilerplate), removal drops the ORIGINAL lines, order preserved,
-        # all-boilerplate docs go to '' (never NULL)
-        "boilerplate_removal": f"""
-            WITH l AS (SELECT * FROM (VALUES {_boilerplate_line_values()})
-                       AS t(doc_id, pos, line)),
-            b AS (SELECT nline FROM (
-                    SELECT trim(lower(line)) AS nline,
-                           count(DISTINCT doc_id) AS df
-                    FROM l WHERE trim(lower(line)) <> '' GROUP BY 1)
-                  WHERE df >= 2),
-            j AS (SELECT doc_id, pos, line,
-                         trim(lower(line)) IN (SELECT nline FROM b)
-                           AS is_boiler
-                  FROM l)
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   CAST(count(*) AS BIGINT) AS n_lines,
-                   CAST(sum(CAST(is_boiler AS INT)) AS BIGINT) AS n_removed,
-                   coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
-                                       chr(10) ORDER BY pos), '')
-                     AS clean_text
-            FROM j GROUP BY doc_id
-        """,
+        "boilerplate_removal": _boilerplate_oracle_sql(
+            f"SELECT * FROM (VALUES {_boilerplate_line_values()}) "
+            "AS t(doc_id, pos, line)"),
+        # same semantics over the REAL documents table (single-line
+        # all-distinct word soup → the op must be an exact identity:
+        # a false positive, or any reassembly drift, mismatches)
+        "boilerplate_docs": _boilerplate_oracle_sql("""
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                   arr[CAST(i AS BIGINT)] AS line
+            FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+                  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
+                        FROM documents))"""),
         # joint components over BOTH edge channels: the frozen phash pair
         # snapshot UNION ALL caption star-edges derived in SQL (normalize →
         # min-id canonical per non-empty group) — transitive cross-modal

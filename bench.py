@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "rasterize_rects", "zonal_stats_rects", "rect_overlap_join",  # r5 spatial
     "compact_cover_rects", "blocks_pip_join",  # r5 spatial
     "dedup_elect_quality", "image_dedup_clusters",  # r5 continuation
+    "boilerplate_docs",  # r5: line-dedup identity pass over the real corpus
 ]
 
 
