@@ -1,0 +1,55 @@
+"""Incremental image ingest: snapshot-in → snapshot-out tiling.
+
+The 10^12-image shape of the reference's one-shot encode
+(``cmd/codec/main.go:40-87``): the image corpus lives in a versioned
+(Iceberg-lite) table that grows by appends, and each ingest run tiles ONLY
+the images appended since the last run — ``versioned_diff`` makes the delta
+a manifest-file subtraction, so per-run cost is proportional to the new
+data, never the corpus.
+
+The blocks output is itself a versioned table: each run appends one blocks
+snapshot whose ``properties`` pin the SOURCE snapshot it consumed. Resume
+state therefore lives inside the same atomic manifest publish as the data —
+a crash between "blocks written" and "state recorded" is impossible, and a
+re-run after a crash mid-write sees the orphaned (unpublished) data files
+as invisible and redoes the delta exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..operators.tiling import assign_tiles
+from ..sources.tables import (snapshot_properties, table_versions,
+                              versioned_diff, write_versioned)
+
+
+def ingest_images_incremental(spark: SparkSession, images_path: str,
+                              blocks_path: str,
+                              cfg: EngineConfig = DEFAULT_CONFIG,
+                              on_error: str = "skip") -> int | None:
+    """Tile the images appended to ``images_path`` since the last ingest
+    and append them as a new snapshot of the blocks table at
+    ``blocks_path``. Returns the new blocks snapshot number, or None when
+    the blocks table is already caught up (idempotent re-runs are no-ops).
+
+    ``on_error`` defaults to ``"skip"`` (quarantine-don't-crash — the only
+    sane policy at corpus scale; see :func:`..operators.tiling.assign_tiles`).
+    Tile assignment is per-image, so union-of-deltas ≡ tiling the full
+    snapshot (pytest-pinned); operators that need cross-image state (dedup,
+    spatial join) run downstream over the blocks table's LATEST snapshot.
+    """
+    src_versions = table_versions(images_path)
+    if not src_versions:
+        raise FileNotFoundError(f"no published snapshots at {images_path}")
+    latest = src_versions[-1]
+    done = 0
+    if table_versions(blocks_path):
+        done = int(snapshot_properties(blocks_path).get("source_snapshot", 0))
+    if done >= latest:
+        return None
+    delta = versioned_diff(spark, images_path, done, latest)
+    blocks = assign_tiles(delta, cfg, on_error=on_error)
+    return write_versioned(blocks, blocks_path, mode="append",
+                           properties={"source_snapshot": latest})

@@ -72,7 +72,8 @@ def table_versions(path: str) -> list[int]:
     return _manifest_versions(path)
 
 
-def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_versioned(df: DataFrame, path: str, mode: str = "append",
+                    properties: dict | None = None) -> int:
     """Commit ``df`` as a new snapshot of the versioned table at ``path``.
 
     Data files land in ``path/data/s<n>/`` first; the snapshot only becomes
@@ -81,8 +82,11 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     snapshot, and an orphaned data directory (e.g. a crashed writer) is
     invisible forever. ``mode="append"`` carries the previous snapshot's
     files forward; ``mode="overwrite"`` starts the file list fresh (old
-    snapshots stay readable — nothing is deleted). Returns the new snapshot
-    number."""
+    snapshots stay readable — nothing is deleted). ``properties`` is an
+    optional JSON dict pinned to the snapshot (Iceberg's snapshot summary
+    — e.g. which SOURCE snapshot an incremental ingest consumed, making
+    resume decisions part of the same atomic commit). Returns the new
+    snapshot number."""
     import glob as _glob
     import json
     import os
@@ -98,7 +102,8 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
         with open(os.path.join(path, f"v{versions[-1]}.json")) as fh:
             files = json.load(fh)["files"] + new_files
     manifest = {"snapshot": n, "files": files,
-                "schema": json.loads(df.schema.json())}
+                "schema": json.loads(df.schema.json()),
+                "properties": dict(properties or {})}
     tmp = os.path.join(path, f".v{n}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -129,6 +134,22 @@ def read_versioned(spark: SparkSession, path: str,
     if not manifest["files"]:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*manifest["files"])
+
+
+def snapshot_properties(path: str, version: int | None = None) -> dict:
+    """The properties dict pinned at commit time (latest snapshot when
+    ``version`` is None; {} for snapshots committed without properties)."""
+    import json
+    import os
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no published snapshots at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"snapshot {version} not in {versions}")
+    with open(os.path.join(path, f"v{version}.json")) as fh:
+        return json.load(fh).get("properties", {})
 
 
 def versioned_diff(spark: SparkSession, path: str, from_version: int,

@@ -144,6 +144,53 @@ def test_versioned_diff_feeds_incremental_dedup(spark, tmp_path):
     assert sum(1 for t, _ in got.values() if t == "exact") == 3
 
 
+def test_snapshot_properties_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark, [1]), path)  # no properties → {}
+    write_versioned(_df(spark, [2]), path, mode="append",
+                    properties={"source_snapshot": 7, "who": "ingest"})
+    from quadtree_block_compression_spark.sources.tables import (
+        snapshot_properties)
+    assert snapshot_properties(path, 1) == {}
+    assert snapshot_properties(path) == {"source_snapshot": 7, "who": "ingest"}
+    with pytest.raises(ValueError):
+        snapshot_properties(path, 9)
+
+
+def test_incremental_image_ingest_snapshot_to_snapshot(spark, tiny_images,
+                                                       tmp_path):
+    """ingest → append images → ingest again: each run tiles ONLY the
+    delta, the blocks table's latest snapshot equals tiling the full image
+    snapshot, blocks time travel works, and a caught-up re-run is a no-op."""
+    from quadtree_block_compression_spark.operators.tiling import assign_tiles
+    from quadtree_block_compression_spark.plans.incremental import (
+        ingest_images_incremental)
+
+    imgs = str(tmp_path / "images_tbl")
+    blks = str(tmp_path / "blocks_tbl")
+    first = tiny_images.where("image_id < 'img_00005'")
+    rest = tiny_images.where("image_id >= 'img_00005'")
+    assert first.count() + rest.count() == 16
+
+    write_versioned(first, imgs)
+    assert ingest_images_incremental(spark, imgs, blks) == 1
+    assert ingest_images_incremental(spark, imgs, blks) is None  # caught up
+
+    write_versioned(rest, imgs, mode="append")
+    assert ingest_images_incremental(spark, imgs, blks) == 2
+    assert ingest_images_incremental(spark, imgs, blks) is None
+
+    key = ["image_id", "tile_id", "block_hash"]
+    got = read_versioned(spark, blks).select(*key)
+    want = assign_tiles(tiny_images).select(*key)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # time travel on the OUTPUT: blocks v1 = tiles of the first snapshot only
+    v1_images = {r.image_id for r in
+                 read_versioned(spark, blks, 1).select("image_id")
+                 .distinct().collect()}
+    assert v1_images == {r.image_id for r in first.select("image_id").collect()}
+
+
 def test_empty_snapshot_reads_with_schema(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_versioned(spark.createDataFrame([], "k long, v long"), path)
