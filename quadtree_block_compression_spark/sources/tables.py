@@ -136,6 +136,41 @@ def read_versioned(spark: SparkSession, path: str,
     return spark.read.schema(schema).parquet(*manifest["files"])
 
 
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Iceberg's ``expire_snapshots``: drop all but the newest ``keep_last``
+    manifests and delete data files no surviving snapshot references.
+
+    Readers of surviving snapshots are unaffected (their file lists are
+    untouched); expired version numbers simply stop resolving. Deletion
+    order is manifests first, then orphaned data files — a crash mid-way
+    leaves only unreferenced files (invisible by construction), never a
+    published manifest with missing data. Returns
+    ``{"expired_versions": [...], "deleted_files": n}``."""
+    import json
+    import os
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (a table keeps a snapshot)")
+    versions = _manifest_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no published snapshots at {path}")
+    expired, kept = versions[:-keep_last], versions[-keep_last:]
+    keep_files: set[str] = set()
+    for v in kept:
+        with open(os.path.join(path, f"v{v}.json")) as fh:
+            keep_files.update(json.load(fh)["files"])
+    drop_files: set[str] = set()
+    for v in expired:
+        with open(os.path.join(path, f"v{v}.json")) as fh:
+            drop_files.update(json.load(fh)["files"])
+        os.remove(os.path.join(path, f"v{v}.json"))
+    deleted = 0
+    for f in sorted(drop_files - keep_files):
+        if os.path.exists(f):
+            os.remove(f)
+            deleted += 1
+    return {"expired_versions": expired, "deleted_files": deleted}
+
+
 def snapshot_properties(path: str, version: int | None = None) -> dict:
     """The properties dict pinned at commit time (latest snapshot when
     ``version`` is None; {} for snapshots committed without properties)."""

@@ -191,6 +191,36 @@ def test_incremental_image_ingest_snapshot_to_snapshot(spark, tiny_images,
     assert v1_images == {r.image_id for r in first.select("image_id").collect()}
 
 
+def test_expire_snapshots_retention(spark, tmp_path):
+    """Expire drops old manifests and ONLY data files no survivor
+    references: append-lineage files shared with kept snapshots survive,
+    overwritten-away files are deleted, kept snapshots read unchanged."""
+    from quadtree_block_compression_spark.sources.tables import (
+        expire_snapshots)
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark, [1, 2]), path)                  # v1
+    write_versioned(_df(spark, [3]), path, mode="append")      # v2 (shares v1 files)
+    write_versioned(_df(spark, [9]), path, mode="overwrite")   # v3 (fresh files)
+    write_versioned(_df(spark, [10]), path, mode="append")     # v4
+
+    out = expire_snapshots(path, keep_last=2)
+    assert out["expired_versions"] == [1, 2]
+    assert out["deleted_files"] > 0                            # v1/v2's files orphaned
+    assert table_versions(path) == [3, 4]
+    assert sorted(r.k for r in read_versioned(spark, path, 3).collect()) == [9]
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) == [9, 10]
+    with pytest.raises(ValueError):
+        read_versioned(spark, path, 1)                         # expired
+    with pytest.raises(ValueError):
+        expire_snapshots(path, keep_last=0)
+
+    # shared-file safety: expire v3 while keeping v4 (append of v3) must
+    # NOT delete v3's files — v4 still references them
+    out2 = expire_snapshots(path, keep_last=1)
+    assert out2 == {"expired_versions": [3], "deleted_files": 0}
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) == [9, 10]
+
+
 def test_empty_snapshot_reads_with_schema(spark, tmp_path):
     path = str(tmp_path / "tbl")
     write_versioned(spark.createDataFrame([], "k long, v long"), path)
