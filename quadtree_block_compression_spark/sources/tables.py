@@ -136,6 +136,36 @@ def read_versioned(spark: SparkSession, path: str,
     return spark.read.schema(schema).parquet(*manifest["files"])
 
 
+def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
+                    key: str | list[str],
+                    properties: dict | None = None) -> int:
+    """Row-level upsert (Iceberg ``MERGE INTO``, copy-on-write): rows of
+    the latest snapshot whose ``key`` appears in ``updates`` are replaced,
+    new keys are inserted, and the result is published as one atomic
+    overwrite snapshot — prior snapshots stay readable (a bad merge is
+    rolled back by reading the previous version).
+
+    The merge plan is one anti-join (current minus updated keys) + union —
+    no driver-side rows; at scale the anti-join shuffles on the key like
+    any equi-join. ``updates`` must match the table schema (snapshot-pinned
+    — widen with an explicit overwrite commit instead) and be unique on
+    ``key`` (duplicate update keys would make the result nondeterministic;
+    checked with one cheap aggregate)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cur = read_versioned(spark, path)
+    shape = lambda df: [(f.name, f.dataType) for f in df.schema.fields]  # noqa: E731
+    if shape(updates) != shape(cur):
+        raise ValueError(
+            f"updates schema {shape(updates)} != table schema {shape(cur)} "
+            "— merge is snapshot-pinned; commit a schema change explicitly")
+    if updates.groupBy(*keys).count().where("count > 1").limit(1).count():
+        raise ValueError(f"updates are not unique on {keys}")
+    merged = (cur.join(updates.select(*keys), keys, "left_anti")
+              .unionByName(updates))
+    return write_versioned(merged, path, mode="overwrite",
+                           properties=properties)
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Iceberg's ``expire_snapshots``: drop all but the newest ``keep_last``
     manifests and delete data files no surviving snapshot references.

@@ -49,6 +49,52 @@ def test_boilerplate_min_df_threshold(spark):
     assert all(r.n_removed == 0 for r in out)
 
 
+def _py_boilerplate(rows, min_df):
+    """Pure-Python reference semantics: df = distinct docs per normalized
+    non-blank line; removal preserves order; blanks always kept."""
+    df = {}
+    for d, lines in rows:
+        for ln in lines:
+            n = ln.strip().lower()
+            if n:
+                df.setdefault(n, set()).add(d)
+    boiler = {n for n, s in df.items() if len(s) >= min_df}
+    out = {}
+    for d, lines in rows:
+        kept = [ln for ln in lines
+                if not (ln.strip().lower() and ln.strip().lower() in boiler)]
+        out[d] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    return out
+
+
+def test_boilerplate_randomized_equivalence(spark):
+    """Seeded random corpora (shared/unique/blank/padded/case-variant/
+    unicode lines) must match the pure-Python reference exactly."""
+    import numpy as np
+
+    alphabet = ["", "  ", "Shared Footer", "shared footer", " SHARED FOOTER ",
+                "cookie banner", "Cookie Banner", "café menu déjà vu",
+                "semi rare line", "tail note"]
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for d in range(40):
+            n_lines = int(rng.integers(1, 7))
+            lines = []
+            for i in range(n_lines):
+                if rng.random() < 0.55:
+                    lines.append(alphabet[int(rng.integers(len(alphabet)))])
+                else:
+                    lines.append(f"unique {d}-{i} body")
+            rows.append((d, lines))
+        min_df = int(rng.integers(2, 5))
+        want = _py_boilerplate(rows, min_df)
+        got = {r.doc_id: (r.n_lines, r.n_removed, r.clean_text) for r in
+               remove_boilerplate_lines(_docs(spark, rows),
+                                        min_df=min_df).collect()}
+        assert got == want, f"seed={seed} min_df={min_df}"
+
+
 def test_boilerplate_noop_on_distinct_corpus(spark):
     """The real documents table (single-line, all-distinct word soup) must
     pass through unchanged — a false positive here means df counting or

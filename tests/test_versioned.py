@@ -191,6 +191,35 @@ def test_incremental_image_ingest_snapshot_to_snapshot(spark, tiny_images,
     assert v1_images == {r.image_id for r in first.select("image_id").collect()}
 
 
+def test_merge_versioned_upsert(spark, tmp_path):
+    """MERGE INTO semantics: updates replace matching keys, new keys
+    insert, one atomic overwrite snapshot, prior snapshots untouched;
+    schema drift and duplicate update keys fail fast."""
+    from quadtree_block_compression_spark.sources.tables import (
+        merge_versioned)
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark, [1, 2, 3]), path)
+    updates = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 9], "v": [777, 999]}))
+    assert merge_versioned(spark, path, updates, "k",
+                           properties={"op": "merge"}) == 2
+    got = {r.k: r.v for r in read_versioned(spark, path).collect()}
+    assert got == {1: 10, 2: 777, 3: 30, 9: 999}
+    # time travel: the pre-merge snapshot is intact
+    assert {r.k: r.v for r in read_versioned(spark, path, 1).collect()} \
+        == {1: 10, 2: 20, 3: 30}
+    from quadtree_block_compression_spark.sources.tables import (
+        snapshot_properties)
+    assert snapshot_properties(path, 2) == {"op": "merge"}
+    with pytest.raises(ValueError, match="unique"):
+        merge_versioned(spark, path,
+                        spark.createDataFrame(
+                            pd.DataFrame({"k": [5, 5], "v": [1, 2]})), "k")
+    with pytest.raises(ValueError, match="schema"):
+        merge_versioned(spark, path,
+                        _df(spark, [4]).withColumn("extra", F.lit(1)), "k")
+
+
 def test_expire_snapshots_retention(spark, tmp_path):
     """Expire drops old manifests and ONLY data files no survivor
     references: append-lineage files shared with kept snapshots survive,
