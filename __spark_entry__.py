@@ -904,14 +904,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         components via min-label propagation (components.py), singletons
         included — the principled per-component canonical election that the
         greedy drop-doc_b rule approximates. Oracle: DuckDB recursive CTE
-        (min reachable id)."""
+        (min reachable id). algorithm is pinned to "propagation" so this
+        query keeps grading the distributed propagation tier at gate size
+        (auto's small-graph union-find tier is graded by the five
+        default-auto component queries, alternating by _logn)."""
         from quadtree_block_compression_spark.operators.components import (
             connected_components)
         (docs,) = _tables(spark, sf, "documents")
         pairs = dedup_text.minhash_lsh_pairs(docs, n=_NGRAM_N, num_perm=_NUM_PERM,
                                              bands=_BANDS, threshold=_JACCARD_T,
                                              max_bucket=_MAX_BUCKET)
-        return connected_components(docs, pairs)
+        return connected_components(docs, pairs, algorithm="propagation")
 
     def dedup_components_logn(spark, sf):
         """Same duplicate clusters, computed by the large-star/small-star

@@ -30,10 +30,14 @@ Algorithms (two, same signature, ``algorithm=`` selects):
   Converges in O(log² n) rounds REGARDLESS of diameter — the scale path
   for adversarial long-chain graphs (crawl rings, version chains) where
   propagation's O(diameter) shuffle count would be unbounded.
-- ``auto`` (default) — propagation for up to ``max_iters`` rounds, then
-  fall back to ``alternating`` from scratch instead of aborting: cheap
-  on the common shallow graphs, still guaranteed to finish on
-  pathological ones.
+- ``auto`` (default) — size-adaptive: an edge set within
+  ``driver_edge_cap`` (gated by a bounded ``limit(cap+1).count()`` over
+  the already-materialized edge frame) is solved driver-side with one
+  collect + union-find — at that size the iterative tiers' ~2 scheduled
+  jobs per round are pure latency floor. Larger sets run propagation for
+  up to ``max_iters`` rounds, then fall back to ``alternating`` from
+  scratch instead of aborting: cheap on the common shallow graphs, still
+  guaranteed to finish on pathological ones.
 
 Deterministic (min over ids), so the whole computation is replicated in the
 DuckDB oracle as a recursive CTE (min reachable id per node).
@@ -48,14 +52,25 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          a_col: str = "doc_a", b_col: str = "doc_b",
                          max_iters: int = 25,
-                         algorithm: str = "auto") -> DataFrame:
+                         algorithm: str = "auto",
+                         driver_edge_cap: int = 200_000) -> DataFrame:
     """Component id (= min member id) per node.
 
     ``nodes``: one row per entity (singletons become their own component).
     ``pairs``: undirected edges, any extra columns ignored.
-    ``algorithm``: ``"auto"`` (propagation, alternating fallback past
-    ``max_iters``), ``"propagation"`` (raises past ``max_iters``), or
-    ``"alternating"`` (large-star/small-star from the start).
+    ``algorithm``: ``"auto"`` (small edge sets solved driver-side, then
+    propagation, then alternating fallback past ``max_iters``),
+    ``"propagation"`` (raises past ``max_iters``), or ``"alternating"``
+    (large-star/small-star from the start).
+    ``driver_edge_cap``: ``auto`` only — an edge set at most this large
+    (counted AFTER the node-set restriction, from the already-checkpointed
+    frame, so the gate costs one cheap job) is solved with one collect +
+    union-find instead of the iterative loop. Near-dup edge sets are tiny
+    relative to their corpus (LSH pairs over 5k docs ≈ hundreds of edges),
+    and the iterative algorithms pay ~2 scheduled jobs per round — a
+    latency floor that dwarfs the work at that size. The cap bounds the
+    collect at a few MB; 0 disables the tier. At 100 TB the post-LSH edge
+    set exceeds any sane cap and flows to the distributed tiers unchanged.
     Returns (``id_col``, component_id, component_size, is_canonical).
     """
     if algorithm not in ("auto", "propagation", "alternating"):
@@ -85,7 +100,12 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     # a manual unpersist here would leave a stale registry entry behind
 
     labels = None
-    if algorithm in ("auto", "propagation"):
+    if algorithm == "auto" and driver_edge_cap > 0:
+        # limit(cap+1).count() instead of count(): the gate never scans
+        # more than cap+1 rows of a huge edge set
+        if edges.limit(driver_edge_cap + 1).count() <= driver_edge_cap:
+            labels = _driver_labels(node_ids, edges)
+    if labels is None and algorithm in ("auto", "propagation"):
         labels = _propagate_labels(node_ids, edges, max_iters)
         if labels is None and algorithm == "propagation":
             # silently-wrong labels would poison the dedup election
@@ -104,6 +124,48 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                     F.col("label").alias("component_id"),
                     "component_size",
                     (F.col("x") == F.col("label")).alias("is_canonical")))
+
+
+def _driver_labels(node_ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """Small-graph tier: union-find over a collected edge list. The caller
+    gates the collect at ``driver_edge_cap`` rows (a few MB) — this is the
+    contractually-bounded kind of driver work (like the kNN pending set),
+    not a driver loop over table-scale data. One collect + one
+    createDataFrame replaces ~2 jobs × diameter rounds of scheduling
+    latency, which dominates the iterative tiers on small graphs."""
+    rows = edges.collect()  # ≤ driver_edge_cap rows by the caller's gate
+    parent: dict = {}
+
+    def find(v):
+        r = v
+        while parent[r] != r:
+            r = parent[r]
+        while parent[v] != r:  # path compression
+            parent[v], v = r, parent[v]
+        return r
+
+    for row in rows:
+        x, y = row[0], row[1]
+        for v in (x, y):
+            if v not in parent:
+                parent[v] = v
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    from pyspark.sql.types import StructField, StructType
+    xf = edges.schema.fields[0]
+    schema = StructType([StructField("x", xf.dataType, False),
+                         StructField("label", xf.dataType, False)])
+    lab = edges.sparkSession.createDataFrame(
+        [(v, comp_min[find(v)]) for v in parent], schema)
+    # singletons (no edges) re-enter as their own component
+    return (node_ids.join(F.broadcast(lab), "x", "left")
+            .select("x", F.coalesce("label", "x").alias("label")))
 
 
 def _propagate_labels(node_ids: DataFrame, edges: DataFrame,

@@ -194,3 +194,36 @@ def test_random_graphs_both_algorithms_vs_union_find(spark):
         for alg in ("propagation", "alternating"):
             got = _run_alg(spark, ids, edges, algorithm=alg, max_iters=200)
             assert got == want, (trial, alg)
+        # auto's driver-side union-find tier (these graphs are all under
+        # the default cap) must agree with the same ground truth
+        got = _run_alg(spark, ids, edges, algorithm="auto")
+        assert got == want, (trial, "auto/driver")
+
+
+def test_auto_tier_selection(spark, monkeypatch):
+    """auto picks the driver tier under the cap, the distributed path when
+    the cap is disabled or exceeded — and all tiers agree."""
+    from quadtree_block_compression_spark.operators import components as C
+
+    calls = []
+    orig_driver, orig_prop = C._driver_labels, C._propagate_labels
+    monkeypatch.setattr(C, "_driver_labels",
+                        lambda *a: calls.append("driver") or orig_driver(*a))
+    monkeypatch.setattr(C, "_propagate_labels",
+                        lambda *a: calls.append("prop") or orig_prop(*a))
+    ids = [1, 2, 3, 4, 9]
+    edges = [(1, 2), (2, 3)]
+    small = _run_alg(spark, ids, edges)  # default cap: driver tier
+    assert calls == ["driver"]
+    calls.clear()
+    forced = _run_alg(spark, ids, edges, driver_edge_cap=0)
+    assert calls == ["prop"]
+    calls.clear()
+    # symmetric closure doubles the 2 edges → 4 rows > cap of 3
+    exceeded = _run_alg(spark, ids, edges, driver_edge_cap=3)
+    assert calls == ["prop"]
+    assert small == forced == exceeded
+    # edge set that restricts to EMPTY (both endpoints unknown) through
+    # the driver tier: everything is a singleton
+    lone = _run_alg(spark, [5, 6], [(7, 8)])
+    assert lone == {5: (5, 1, True), 6: (6, 1, True)}
