@@ -220,6 +220,62 @@ def test_merge_versioned_upsert(spark, tmp_path):
                         _df(spark, [4]).withColumn("extra", F.lit(1)), "k")
 
 
+def test_cluster_by_zorder_file_layout(spark, tmp_path):
+    """cluster_by lays files out along the Z-curve: each file's parquet
+    min/max stats bound a tight (x, y) box, so a small range predicate
+    overlaps few files — while an unclustered write of the same rows gives
+    every file ~the full domain (no skipping possible). This asserts the
+    LAYOUT property Iceberg sort orders exist for, straight from the file
+    footers, independent of any engine's pruning implementation."""
+    import glob
+    import json
+    import pyarrow.parquet as pq
+    from quadtree_block_compression_spark.sources.tables import (
+        snapshot_properties)
+
+    grid = pd.DataFrame([(x, y, x * 64 + y)
+                         for x in range(64) for y in range(64)],
+                        columns=["x", "y", "v"])
+    src = spark.createDataFrame(grid).repartition(16)  # scrambled order
+    pc, pu = str(tmp_path / "clustered"), str(tmp_path / "plain")
+    assert write_versioned(src, pc, cluster_by=["x", "y"],
+                           cluster_files=16) == 1
+    assert write_versioned(src, pu) == 1
+
+    def bboxes(path):
+        files = json.load(open(os.path.join(path, "v1.json")))["files"]
+        out = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            lo = {c: min(md.row_group(g).column(names.index(c)).statistics.min
+                         for g in range(md.num_row_groups)) for c in ("x", "y")}
+            hi = {c: max(md.row_group(g).column(names.index(c)).statistics.max
+                         for g in range(md.num_row_groups)) for c in ("x", "y")}
+            out.append((lo["x"], hi["x"], lo["y"], hi["y"]))
+        return out
+
+    def overlapping(boxes, x0, x1, y0, y1):
+        return sum(1 for (ax0, ax1, ay0, ay1) in boxes
+                   if ax0 <= x1 and x0 <= ax1 and ay0 <= y1 and y0 <= ay1)
+
+    cb, ub = bboxes(pc), bboxes(pu)
+    # query box = 1/16 of the domain: few clustered files overlap it,
+    # every unclustered file does (each spans ~the whole domain)
+    assert overlapping(cb, 0, 15, 0, 15) <= len(cb) // 4
+    assert overlapping(ub, 0, 15, 0, 15) == len(ub)
+    # row order is the ONLY thing that changed: same rows, schema clean of
+    # the helper key, and the manifest records the sort order
+    got = read_versioned(spark, pc)
+    assert got.columns == ["x", "y", "v"]
+    assert got.count() == 64 * 64
+    assert got.filter("x < 16 and y < 16").count() == 256
+    man = json.load(open(os.path.join(pc, "v1.json")))
+    assert man["sort_order"] == {"kind": "zorder", "columns": ["x", "y"]}
+    assert "sort_order" not in json.load(open(os.path.join(pu, "v1.json")))
+    assert snapshot_properties(pc, 1) == {}
+
+
 def test_expire_snapshots_retention(spark, tmp_path):
     """Expire drops old manifests and ONLY data files no survivor
     references: append-lineage files shared with kept snapshots survive,
