@@ -1281,6 +1281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         time-travel-read snapshot 1 — rows committed later must be
         invisible — with the LATEST snapshot's row count riding along as a
         constant column so append visibility grades in the same result.
+        Snapshot 1 is written cluster_by=(w, h) so the gate also drives the
+        Z-order layout path (layout changes row order only — the oracle is
+        order-insensitive, so values must be untouched by clustering).
         Oracle: the snapshot-1 metadata constants + literal 16."""
         import tempfile
         from quadtree_block_compression_spark.fixtures.images import (
@@ -1289,7 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             read_versioned, write_versioned)
         meta = images_meta_pandas(16, seed=42, max_side=128)
         path = tempfile.mkdtemp(prefix="qbcs_vgate_")
-        write_versioned(spark.createDataFrame(meta.iloc[:8]), path)
+        write_versioned(spark.createDataFrame(meta.iloc[:8]), path,
+                        cluster_by=["w", "h"], cluster_files=2)
         write_versioned(spark.createDataFrame(meta.iloc[8:]), path,
                         mode="append")
         v1 = read_versioned(spark, path, version=1)
