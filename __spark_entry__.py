@@ -628,6 +628,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- queries --
 
 
+def _gate_table_dir(name: str) -> str:
+    """Scratch dir for the versioned-table gate queries: one REUSED
+    thread-scoped path, wiped at build start, instead of a fresh mkdtemp
+    per invocation — repeated gate/audit runs previously accumulated
+    unbounded parquet garbage under /tmp. Thread-scoped because the driver
+    may build queries concurrently; within a thread the previous build's
+    result has already been consumed when the next build wipes the dir."""
+    import shutil
+    import tempfile
+    import threading
+    path = os.path.join(tempfile.gettempdir(),
+                        f"{name}_{threading.get_ident()}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from quadtree_block_compression_spark.operators import (
         ann, dedup_blocks, dedup_text, knn, multimodal, raster, sampling,
@@ -1285,13 +1301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Z-order layout path (layout changes row order only — the oracle is
         order-insensitive, so values must be untouched by clustering).
         Oracle: the snapshot-1 metadata constants + literal 16."""
-        import tempfile
         from quadtree_block_compression_spark.fixtures.images import (
             images_meta_pandas)
         from quadtree_block_compression_spark.sources.tables import (
             read_versioned, write_versioned)
         meta = images_meta_pandas(16, seed=42, max_side=128)
-        path = tempfile.mkdtemp(prefix="qbcs_vgate_")
+        path = _gate_table_dir("qbcs_vgate")
         write_versioned(spark.createDataFrame(meta.iloc[:8]), path,
                         cluster_by=["w", "h"], cluster_files=2)
         write_versioned(spark.createDataFrame(meta.iloc[8:]), path,
@@ -1308,13 +1323,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         files are scanned. Exactly the appended rows (no old rows rescanned,
         no new rows lost) or the gate mismatches. Oracle: the snapshot-2
         generator constants."""
-        import tempfile
         from quadtree_block_compression_spark.fixtures.images import (
             images_meta_pandas)
         from quadtree_block_compression_spark.sources.tables import (
             versioned_diff, write_versioned)
         meta = images_meta_pandas(16, seed=42, max_side=128)
-        path = tempfile.mkdtemp(prefix="qbcs_vdiff_")
+        path = _gate_table_dir("qbcs_vdiff")
         write_versioned(spark.createDataFrame(meta.iloc[:8]), path)
         write_versioned(spark.createDataFrame(meta.iloc[8:]), path,
                         mode="append")
@@ -3223,14 +3237,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT image_id, caption_norm,
                      {portable_hash64_sql('caption_norm')} AS caption_fp
               FROM keyed)
+            -- empty-caption singleton rule pinned on both engines: an
+            -- untitled image is its own group, never elected across
             SELECT image_id, caption_norm, caption_fp,
-                   CAST(count(*) OVER (PARTITION BY caption_fp) AS BIGINT)
-                     AS group_size,
-                   min(image_id) OVER (PARTITION BY caption_fp)
-                     AS canonical_id,
-                   image_id = min(image_id) OVER (PARTITION BY caption_fp)
-                     AS is_canonical
+                   CAST(count(*) OVER w AS BIGINT) AS group_size,
+                   min(image_id) OVER w AS canonical_id,
+                   image_id = min(image_id) OVER w AS is_canonical
             FROM hashed
+            WINDOW w AS (PARTITION BY caption_fp,
+                         CASE WHEN caption_norm = '' THEN image_id
+                              ELSE '' END)
         """,
         # pure function of the (SF-constant) nation keys; no SQL engine can
         # decode RIFF, but the frozen output pins the decoder driver-visibly

@@ -29,7 +29,9 @@ def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     Returns one row per ``docs`` row: (``id_col``, contaminated,
     n_shared_ngrams, bench_doc) where ``n_shared_ngrams`` counts DISTINCT
     shared shingles, ``bench_doc`` is the smallest matching benchmark id
-    (deterministic), sentinel -1 when clean. Benchmark ids live in their
+    (deterministic), sentinel ``-1`` cast to the id column's own type when
+    clean (``-1`` for numeric ids, ``"-1"`` for string ids — a fixed long
+    cast would ANSI-crash on non-numeric ids). Benchmark ids live in their
     own column namespace, so the benchmark MAY be a subset of the corpus
     (self-contamination audits) without ambiguity.
     """
@@ -44,10 +46,11 @@ def ngram_contamination(docs: DataFrame, benchmark: DataFrame, n: int = 8,
             .groupBy(id_col)
             .agg(F.countDistinct("shingle").alias("n_shared_ngrams"),
                  F.min("bench_doc").alias("bench_doc")))
+    id_type = benchmark.schema[id_col].dataType
     return (docs.select(id_col).join(hits, id_col, "left")
             .select(F.col(id_col),
                     F.col("n_shared_ngrams").isNotNull().alias("contaminated"),
                     F.coalesce("n_shared_ngrams", F.lit(0)).cast("long")
                     .alias("n_shared_ngrams"),
-                    F.coalesce("bench_doc", F.lit(-1)).cast("long")
+                    F.coalesce("bench_doc", F.lit(-1).cast(id_type))
                     .alias("bench_doc")))

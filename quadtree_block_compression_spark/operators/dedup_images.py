@@ -74,6 +74,11 @@ def caption_dedup(images: DataFrame, id_col: str = "image_id",
     with the portable hash, and elect one canonical image per caption group
     (min id). Unicode captions hash identically on both engines (md5 over
     UTF-8). One window shuffle on the fingerprint; no Python, no joins.
+    An EMPTY normalized caption is not duplicate evidence: every untitled
+    image stays its own singleton group (electing across them would drop
+    all-but-one untitled image downstream — and at web scale the untitled
+    fingerprint would be one giant hot partition in the election window,
+    so the singleton subkey is also the skew guard).
     Returns (id, caption_norm, caption_fp, group_size, canonical_id,
     is_canonical).
     """
@@ -84,7 +89,10 @@ def caption_dedup(images: DataFrame, id_col: str = "image_id",
     keyed = images.select(
         id_col, norm.alias("caption_norm"),
         portable_hash64(norm).alias("caption_fp"))
-    w = Window.partitionBy("caption_fp")
+    w = Window.partitionBy(
+        "caption_fp",
+        F.when(F.col("caption_norm") == "",
+               F.col(id_col).cast("string")).otherwise(F.lit("")))
     return (keyed
             .withColumn("group_size", F.count(F.lit(1)).over(w))
             .withColumn("canonical_id", F.min(id_col).over(w))

@@ -232,7 +232,10 @@ def leakage_safe_split(members: DataFrame,
     expr = F.lit(fracs[-1][0])  # shortfall / tail bucket → last label
     cases: list[tuple[str, int]] = []
     for lbl, fr in fracs[:-1]:
-        cum += int(fr * _MOD)
+        # round, not truncate: int(0.7 * 1e6) is 699999 under IEEE —
+        # off-by-one vs the documented 1e-6 quantization (and vs any
+        # oracle computing the threshold as fr·1e6 exactly)
+        cum += int(round(fr * _MOD))
         cases.append((lbl, cum))
     for lbl, threshold in reversed(cases):
         expr = F.when(h < F.lit(threshold), F.lit(lbl)).otherwise(expr)

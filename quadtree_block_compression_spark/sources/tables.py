@@ -111,6 +111,13 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append",
     versions = _manifest_versions(path)
     n = (versions[-1] if versions else 0) + 1
     data_dir = os.path.join(path, "data", f"s{n}")
+    # crash recovery: an existing s<n> with no v<n>.json is a crashed
+    # writer's orphan (publication is the LAST step, so a manifested
+    # snapshot can never collide with a fresh n) — remove it so the retry
+    # commits cleanly instead of erroring on the leftover directory
+    if os.path.isdir(data_dir):
+        import shutil
+        shutil.rmtree(data_dir)
     df.write.mode("errorifexists").parquet(data_dir)
     new_files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
     files = new_files
@@ -144,9 +151,14 @@ def _cluster_zorder(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
     (cluster together at the curve origin) rather than failing the write.
     """
     from pyspark.sql import functions as F
+    from ..functions.cache import persist_tracked
     if _ZBITS * len(cols) > 62:
         raise ValueError(f"too many cluster columns ({len(cols)}) for "
                          f"{_ZBITS}-bit interleave")
+    # three consumers of the input plan (min/max aggregate, range-boundary
+    # sampling, the write itself) — persist once or an expensive upstream
+    # plan executes three times per commit
+    df = persist_tracked(df)
     lims = df.agg(*[F.min(c).alias(f"mn_{c}") for c in cols],
                   *[F.max(c).alias(f"mx_{c}") for c in cols]).collect()[0]
     scaled = []

@@ -118,6 +118,26 @@ def test_caption_dedup_normalize_election_unicode(spark):
     assert "Python" not in plan
 
 
+def test_caption_dedup_empty_captions_stay_singletons(spark):
+    """Untitled images (caption normalizes to '') are NOT a duplicate
+    group: each is its own canonical singleton — electing across them
+    would silently drop all-but-one untitled image downstream, and the
+    shared empty fingerprint would be a giant hot window partition at
+    scale."""
+    from quadtree_block_compression_spark.operators.dedup_images import (
+        caption_dedup)
+    rows = [("i1", ""), ("i2", "   "), ("i3", "[source#9]"),
+            ("i4", "real caption"), ("i5", "real caption")]
+    out = {r.image_id: r for r in caption_dedup(
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["image_id", "caption"]))).collect()}
+    for i in ("i1", "i2", "i3"):
+        assert out[i].caption_norm == ""
+        assert out[i].group_size == 1
+        assert out[i].canonical_id == i and out[i].is_canonical
+    assert out["i4"].group_size == 2 and out["i5"].canonical_id == "i4"
+
+
 def test_multimodal_clusters_union_and_transitivity(spark):
     """Joint dedup merges via EITHER channel and transitively across them:
     a–b pixel-near (caption empty), b absent… specifically: x–y by phash

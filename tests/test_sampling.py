@@ -212,3 +212,29 @@ def test_leakage_safe_split_groups_never_straddle(spark):
         leakage_safe_split(members, fractions=(("a", 0.7), ("b", 0.4)))
     with pytest.raises(ValueError):
         leakage_safe_split(members, fractions=(("a", -0.1), ("b", 0.5)))
+
+
+def test_leakage_safe_split_thresholds_round_not_truncate(spark):
+    """Thresholds are round(fr·1e6): int(0.7·1e6) is 699999 under IEEE, so
+    truncation would misroute any group hashing to exactly 699999 (and
+    silently diverge from an oracle computing 700000). Pinned against a
+    pure-Python twin of the portable hash over enough groups to make the
+    band matter."""
+    import hashlib
+    import pandas as pd
+    from quadtree_block_compression_spark.operators.sampling import (
+        leakage_safe_split)
+    groups = [f"g{i}" for i in range(3000)]
+    members = spark.createDataFrame(
+        pd.DataFrame({"doc_id": groups, "component_id": groups}))
+    fr = (("train", 0.7), ("val", 0.15), ("test", 0.15))
+    got = {r.component_id: r.split
+           for r in leakage_safe_split(members, fractions=fr).collect()}
+
+    def h(g):
+        return int(hashlib.md5(f"split0:{g}".encode())
+                   .hexdigest()[:15], 16) % 1_000_000
+
+    want = {g: ("train" if h(g) < 700_000 else
+                "val" if h(g) < 850_000 else "test") for g in groups}
+    assert got == want

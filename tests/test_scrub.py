@@ -62,6 +62,23 @@ def test_ngram_contamination_flags_shared_ngrams(spark):
     assert out2[100].contaminated and out2[100].bench_doc == 100
 
 
+def test_ngram_contamination_string_ids(spark):
+    """The advertised arbitrary id column must include STRING ids: the
+    clean-row sentinel is -1 cast to the id's own type ('-1'), never a
+    fixed long cast (which ANSI-crashes on 'mmlu_17')."""
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [("doc_a", f"prefix {eight} suffix"), ("doc_b", "all clean here "
+          "nothing shared with any benchmark document at all")],
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("mmlu_17", f"question {eight} answer")], "doc_id string, text string")
+    out = {r.doc_id: r for r in
+           ngram_contamination(docs, bench, n=8).collect()}
+    assert out["doc_a"].contaminated and out["doc_a"].bench_doc == "mmlu_17"
+    assert not out["doc_b"].contaminated and out["doc_b"].bench_doc == "-1"
+
+
 def test_repetition_features_gopher_signals(spark):
     from quadtree_block_compression_spark.operators.text_analysis import (
         repetition_features)

@@ -51,6 +51,20 @@ def test_unpublished_files_invisible(spark, tmp_path):
     assert sorted(r.k for r in read_versioned(spark, path).collect()) == [1, 2]
 
 
+def test_crashed_writer_orphan_does_not_block_next_commit(spark, tmp_path):
+    """A crashed writer leaves data/s<n> WITHOUT v<n>.json; the retry (or
+    any later commit) must reclaim that slot cleanly — publication is the
+    last step, so an unmanifested s<n> is orphaned by construction, and
+    none of its rows may leak into the recovered snapshot."""
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark, [1, 2]), path)
+    # simulate the crash: the NEXT slot's directory exists, unpublished
+    _df(spark, [99, 98]).write.parquet(os.path.join(path, "data", "s2"))
+    assert write_versioned(_df(spark, [3]), path, mode="append") == 2
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) \
+        == [1, 2, 3]
+
+
 def test_schema_pinned_per_snapshot(spark, tmp_path):
     """A later snapshot may add a column; reading the OLD snapshot yields
     the OLD schema (no leakage of future columns), and the new snapshot
