@@ -475,6 +475,73 @@ def _fixture_dims_values(n: int) -> str:
                      for r in pdf.itertuples())
 
 
+def _components_prefix_sql() -> str:
+    """The norm -> exact-dedup -> shingle -> MinHash-LSH -> Jaccard-edges
+    -> recursive-components CTE chain shared VERBATIM by the
+    corpus_clean_components / dedup_elect_quality / corpus_split oracles
+    (each appends its own election/split tail). One definition so a
+    semantics change (cap, threshold, band count) cannot silently
+    diverge between the three. Interpolate after WITH RECURSIVE."""
+    return f"""norm AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                         '\\s+', ' ', 'g')) AS n
+              FROM documents),
+            ann AS (
+              SELECT doc_id, text, {portable_hash64_sql('n')} AS fingerprint FROM norm),
+            exact AS (
+              SELECT * FROM (
+                SELECT doc_id, text, fingerprint,
+                       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                FROM ann) WHERE rn = 1),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(arr) - {_NGRAM_N} + 1, 0) + 1),
+                              i -> array_to_string(arr[i:i + {_NGRAM_N - 1}], ' '))) AS shingle
+                FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM exact)
+              ) WHERE length(shingle) > 0),
+            hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh),
+            sig AS (SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id),
+            bucketed0 AS (
+              SELECT DISTINCT doc_id, band, key FROM (
+                SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
+                UNION ALL
+                SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
+            bucketed AS (
+              SELECT b.* FROM bucketed0 b
+              JOIN (SELECT band, key FROM bucketed0
+                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
+                USING (band, key)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bucketed a JOIN bucketed b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+              GROUP BY 1, 2),
+            edges AS (
+              SELECT doc_a AS x, doc_b AS y FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i / (sa.sz + sb.sz - i) >= 0.5),
+            sym AS (SELECT x, y FROM edges UNION SELECT y, x FROM edges),
+            reach(src, node) AS (
+              SELECT doc_id, doc_id FROM exact
+              UNION
+              SELECT r.src, e.y FROM reach r JOIN sym e ON e.x = r.node),
+            comp AS (SELECT src AS doc_id, min(node) AS component_id
+                     FROM reach GROUP BY src),"""
+
+
 def _caption_values(n: int) -> str:
     """(image_id, caption) VALUES rows for the first ``n`` fixture images —
     metadata-only constants (no pixel synthesis), single quotes escaped."""
@@ -2187,64 +2254,7 @@ def oracle_sql() -> dict[str, str]:
             -- MIN-ID CANONICAL of each connected component over the LSH
             -- pair edges (recursive CTE, min reachable id), not the greedy
             -- drop-every-doc_b rule
-            WITH RECURSIVE norm AS (
-              SELECT doc_id, text,
-                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                                         '\\s+', ' ', 'g')) AS n
-              FROM documents),
-            ann AS (
-              SELECT doc_id, text, {portable_hash64_sql('n')} AS fingerprint FROM norm),
-            exact AS (
-              SELECT * FROM (
-                SELECT doc_id, text, fingerprint,
-                       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-                FROM ann) WHERE rn = 1),
-            sh AS (
-              SELECT DISTINCT doc_id, shingle FROM (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, greatest(len(arr) - {_NGRAM_N} + 1, 0) + 1),
-                              i -> array_to_string(arr[i:i + {_NGRAM_N - 1}], ' '))) AS shingle
-                FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM exact)
-              ) WHERE length(shingle) > 0),
-            hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh),
-            sig AS (SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id),
-            bucketed0 AS (
-              SELECT DISTINCT doc_id, band, key FROM (
-                SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
-            bucketed AS (
-              SELECT b.* FROM bucketed0 b
-              JOIN (SELECT band, key FROM bucketed0
-                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
-                USING (band, key)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bucketed a JOIN bucketed b
-                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS i
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-              GROUP BY 1, 2),
-            edges AS (
-              SELECT doc_a AS x, doc_b AS y FROM inter
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE i / (sa.sz + sb.sz - i) >= 0.5),
-            sym AS (SELECT x, y FROM edges UNION SELECT y, x FROM edges),
-            reach(src, node) AS (
-              SELECT doc_id, doc_id FROM exact
-              UNION
-              SELECT r.src, e.y FROM reach r JOIN sym e ON e.x = r.node),
-            comp AS (SELECT src AS doc_id, min(node) AS component_id
-                     FROM reach GROUP BY src),
+            WITH RECURSIVE {_components_prefix_sql()}
             kept AS (
               SELECT e.doc_id, e.text, e.fingerprint FROM exact e
               JOIN comp c ON c.doc_id = e.doc_id AND c.component_id = e.doc_id),
@@ -2281,64 +2291,7 @@ def oracle_sql() -> dict[str, str]:
             -- swaps the min-id election for argmax round(quality,6) (tie →
             -- min doc_id) per component — both engines rank on the same
             -- 6-dp grid the corpus_clean oracles already hash-agree on
-            WITH RECURSIVE norm AS (
-              SELECT doc_id, text,
-                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                                         '\\s+', ' ', 'g')) AS n
-              FROM documents),
-            ann AS (
-              SELECT doc_id, text, {portable_hash64_sql('n')} AS fingerprint FROM norm),
-            exact AS (
-              SELECT * FROM (
-                SELECT doc_id, text, fingerprint,
-                       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-                FROM ann) WHERE rn = 1),
-            sh AS (
-              SELECT DISTINCT doc_id, shingle FROM (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, greatest(len(arr) - {_NGRAM_N} + 1, 0) + 1),
-                              i -> array_to_string(arr[i:i + {_NGRAM_N - 1}], ' '))) AS shingle
-                FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM exact)
-              ) WHERE length(shingle) > 0),
-            hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh),
-            sig AS (SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id),
-            bucketed0 AS (
-              SELECT DISTINCT doc_id, band, key FROM (
-                SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
-            bucketed AS (
-              SELECT b.* FROM bucketed0 b
-              JOIN (SELECT band, key FROM bucketed0
-                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
-                USING (band, key)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bucketed a JOIN bucketed b
-                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS i
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-              GROUP BY 1, 2),
-            edges AS (
-              SELECT doc_a AS x, doc_b AS y FROM inter
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE i / (sa.sz + sb.sz - i) >= 0.5),
-            sym AS (SELECT x, y FROM edges UNION SELECT y, x FROM edges),
-            reach(src, node) AS (
-              SELECT doc_id, doc_id FROM exact
-              UNION
-              SELECT r.src, e.y FROM reach r JOIN sym e ON e.x = r.node),
-            comp AS (SELECT src AS doc_id, min(node) AS component_id
-                     FROM reach GROUP BY src),
+            WITH RECURSIVE {_components_prefix_sql()}
             quality AS (
               SELECT doc_id,
                 CASE WHEN length(text) >= 50 AND length(text) <= 10000 THEN 1.0 ELSE 0.3 END
@@ -2368,64 +2321,7 @@ def oracle_sql() -> dict[str, str]:
             -- assigns train/val/test by COMPONENT via the portable hash
             -- (hash('split0:' || component_id) mod 1e6 vs cumulative 0.8 /
             -- 0.9 thresholds) — leakage-safe: near-dup members share a split
-            WITH RECURSIVE norm AS (
-              SELECT doc_id, text,
-                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-                                         '\\s+', ' ', 'g')) AS n
-              FROM documents),
-            ann AS (
-              SELECT doc_id, text, {portable_hash64_sql('n')} AS fingerprint FROM norm),
-            exact AS (
-              SELECT * FROM (
-                SELECT doc_id, text, fingerprint,
-                       row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
-                FROM ann) WHERE rn = 1),
-            sh AS (
-              SELECT DISTINCT doc_id, shingle FROM (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, greatest(len(arr) - {_NGRAM_N} + 1, 0) + 1),
-                              i -> array_to_string(arr[i:i + {_NGRAM_N - 1}], ' '))) AS shingle
-                FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS arr FROM exact)
-              ) WHERE length(shingle) > 0),
-            hashed AS (SELECT doc_id, {portable_hash64_sql('shingle')} AS h FROM sh),
-            sig AS (SELECT doc_id, {_minhash_sql_select()} FROM hashed GROUP BY doc_id),
-            bucketed0 AS (
-              SELECT DISTINCT doc_id, band, key FROM (
-                SELECT doc_id, 0 AS band, {portable_hash64_sql("CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 1 AS band, {portable_hash64_sql("CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 2 AS band, {portable_hash64_sql("CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)")} AS key FROM sig
-                UNION ALL
-                SELECT doc_id, 3 AS band, {portable_hash64_sql("CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)")} AS key FROM sig)),
-            bucketed AS (
-              SELECT b.* FROM bucketed0 b
-              JOIN (SELECT band, key FROM bucketed0
-                    GROUP BY band, key HAVING count(*) <= {_MAX_BUCKET}) s
-                USING (band, key)),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bucketed a JOIN bucketed b
-                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS i
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.doc_a
-              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-              GROUP BY 1, 2),
-            edges AS (
-              SELECT doc_a AS x, doc_b AS y FROM inter
-              JOIN sizes sa ON sa.doc_id = doc_a
-              JOIN sizes sb ON sb.doc_id = doc_b
-              WHERE i / (sa.sz + sb.sz - i) >= 0.5),
-            sym AS (SELECT x, y FROM edges UNION SELECT y, x FROM edges),
-            reach(src, node) AS (
-              SELECT doc_id, doc_id FROM exact
-              UNION
-              SELECT r.src, e.y FROM reach r JOIN sym e ON e.x = r.node),
-            comp AS (SELECT src AS doc_id, min(node) AS component_id
-                     FROM reach GROUP BY src),
+            WITH RECURSIVE {_components_prefix_sql()}
             buck AS (
               SELECT doc_id, component_id,
                      {portable_hash64_sql("'split0:' || component_id")} % 1000000 AS m
