@@ -552,6 +552,17 @@ def _caption_values(n: int) -> str:
         for r in pdf.itertuples())
 
 
+def _caption_values_indexed(n: int) -> str:
+    """(i, image_id, caption) VALUES rows — generator ORDER carried as an
+    explicit index so an oracle can slice "the first 8" / "rows 4..11"
+    without assuming id sort order equals generation order."""
+    from quadtree_block_compression_spark.fixtures.images import images_meta_pandas
+    pdf = images_meta_pandas(n, seed=42, max_side=128)
+    return ", ".join(
+        "({}, '{}', '{}')".format(i, r.image_id, r.caption.replace("'", "''"))
+        for i, r in enumerate(pdf.itertuples()))
+
+
 def _phash_fixture_ids_values() -> str:
     """(image_id) VALUES rows for the 20-row seeded phash fixture
     (16 metadata-only fixture ids + the 4 deterministic near-dup extras
@@ -1401,6 +1412,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         mode="append")
         return versioned_diff(spark, path, 1, 2)
 
+    def versioned_merge(spark, sf):
+        """Copy-on-write MERGE INTO, graded: commit generator rows 0-7 as
+        snapshot 1, merge rows 4-11 with a ' v2' caption suffix (4 updates
+        + 4 inserts, one atomic overwrite snapshot), read the result —
+        matched keys replaced, unmatched kept, new keys inserted, with the
+        PRE-merge snapshot's row count riding along as a constant so
+        rollback-readability grades in the same result. Oracle: anti-join
+        + union over the indexed generator constants."""
+        from quadtree_block_compression_spark.fixtures.images import (
+            images_meta_pandas)
+        from quadtree_block_compression_spark.sources.tables import (
+            merge_versioned, read_versioned, write_versioned)
+        meta = images_meta_pandas(16, seed=42, max_side=128) \
+            .loc[:, ["image_id", "caption"]]
+        path = _gate_table_dir("qbcs_vmerge")
+        write_versioned(spark.createDataFrame(meta.iloc[:8]), path)
+        upd = meta.iloc[4:12].copy()
+        upd["caption"] = upd["caption"] + " v2"
+        merge_versioned(spark, path, spark.createDataFrame(upd), "image_id")
+        v1_rows = (read_versioned(spark, path, version=1)
+                   .agg(F.count("*").alias("v1_rows")))
+        return read_versioned(spark, path).crossJoin(v1_rows)
+
     def boilerplate_removal(spark, sf):
         """Cross-document line dedup (CCNet-style boilerplate strip) over
         the constant fixture: lines recurring in ≥2 documents (normalized
@@ -1833,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup_clusters": multimodal_dedup_clusters_q,
         "versioned_read": versioned_read,
         "versioned_incremental": versioned_incremental,
+        "versioned_merge": versioned_merge,
         "boilerplate_removal": boilerplate_removal,
         "boilerplate_docs": boilerplate_docs,
         "audio_features": audio_features,
@@ -3084,6 +3119,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
                    caption
             FROM (VALUES {_versioned_values(8, 16)}) AS m(image_id, w, h, caption)
+        """,
+        # MERGE semantics replayed relationally: base = generator rows 0-7,
+        # updates = rows 4-11 with the ' v2' suffix; result = base minus
+        # updated keys, union updates; v1_rows pins the pre-merge snapshot
+        "versioned_merge": f"""
+            WITH imgs AS (
+              SELECT * FROM (VALUES {_caption_values_indexed(16)})
+                AS m(i, image_id, caption)),
+            base AS (SELECT image_id, caption FROM imgs WHERE i < 8),
+            upd AS (SELECT image_id, caption || ' v2' AS caption
+                    FROM imgs WHERE i >= 4 AND i < 12)
+            SELECT image_id, caption, CAST(8 AS BIGINT) AS v1_rows FROM (
+              SELECT * FROM base
+              WHERE image_id NOT IN (SELECT image_id FROM upd)
+              UNION ALL SELECT * FROM upd)
         """,
         "boilerplate_removal": _boilerplate_oracle_sql(
             f"SELECT * FROM (VALUES {_boilerplate_line_values()}) "
