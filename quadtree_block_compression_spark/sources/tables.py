@@ -237,6 +237,38 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
                            properties=properties)
 
 
+def delete_versioned(spark: SparkSession, path: str, predicate: str,
+                     properties: dict | None = None) -> int:
+    """Row-level delete (Iceberg ``DELETE FROM``, copy-on-write): rows of
+    the latest snapshot matching ``predicate`` (a SQL boolean expression)
+    are dropped and the remainder is published as one atomic overwrite
+    snapshot — prior snapshots stay readable, so a bad delete is rolled
+    back by reading the previous version. One filtered scan + write; the
+    predicate pushes down to the parquet scan like any filter."""
+    kept = read_versioned(spark, path).where(f"NOT ({predicate})")
+    return write_versioned(kept, path, mode="overwrite",
+                           properties=properties)
+
+
+def compact_versioned(spark: SparkSession, path: str, target_files: int = 8,
+                      cluster_by: list[str] | None = None,
+                      properties: dict | None = None) -> int:
+    """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite the
+    latest snapshot into ``target_files`` files — optionally Z-order
+    clustered — as one atomic overwrite snapshot. Append-heavy ingest
+    accumulates one file set per commit; at scale the scan's task count
+    (and the driver's file listing) grows with commit COUNT, not data
+    size, until a compaction folds history into right-sized files. Old
+    snapshots keep reading their original files; pair with
+    ``expire_snapshots`` to reclaim them."""
+    cur = read_versioned(spark, path)
+    if not cluster_by:
+        cur = cur.repartition(target_files)
+    return write_versioned(cur, path, mode="overwrite",
+                           properties=properties, cluster_by=cluster_by,
+                           cluster_files=target_files)
+
+
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:
     """Iceberg's ``expire_snapshots``: drop all but the newest ``keep_last``
     manifests and delete data files no surviving snapshot references.

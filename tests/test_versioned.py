@@ -290,6 +290,50 @@ def test_cluster_by_zorder_file_layout(spark, tmp_path):
     assert snapshot_properties(pc, 1) == {}
 
 
+def test_delete_versioned_predicate(spark, tmp_path):
+    """DELETE FROM semantics: matching rows dropped in one overwrite
+    snapshot, prior snapshots intact for rollback."""
+    from quadtree_block_compression_spark.sources.tables import (
+        delete_versioned)
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark, [1, 2, 3, 4]), path)
+    assert delete_versioned(spark, path, "v >= 30") == 2
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) == [1, 2]
+    assert sorted(r.k for r in
+                  read_versioned(spark, path, 1).collect()) == [1, 2, 3, 4]
+
+
+def test_compact_versioned_folds_files(spark, tmp_path):
+    """rewrite_data_files semantics: N append commits accumulate N file
+    sets; compaction folds the latest snapshot into target_files files
+    with identical rows, old snapshots untouched; optional cluster_by
+    rides through to the rewrite."""
+    import json
+    from quadtree_block_compression_spark.sources.tables import (
+        compact_versioned)
+    path = str(tmp_path / "tbl")
+    for i in range(5):
+        write_versioned(_df(spark, [i * 2, i * 2 + 1]).repartition(4),
+                        path, mode="append")
+    files_before = json.load(open(os.path.join(path, "v5.json")))["files"]
+    assert compact_versioned(spark, path, target_files=2,
+                             properties={"op": "compact"}) == 6
+    files_after = json.load(open(os.path.join(path, "v6.json")))["files"]
+    assert len(files_after) <= 2 < len(files_before)
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) \
+        == list(range(10))
+    # pre-compaction snapshots still read their original files
+    assert sorted(r.k for r in read_versioned(spark, path, 2).collect()) \
+        == [0, 1, 2, 3]
+    # clustered compaction: same rows, sort order recorded
+    assert compact_versioned(spark, path, target_files=2,
+                             cluster_by=["k"]) == 7
+    man = json.load(open(os.path.join(path, "v7.json")))
+    assert man["sort_order"] == {"kind": "zorder", "columns": ["k"]}
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) \
+        == list(range(10))
+
+
 def test_expire_snapshots_retention(spark, tmp_path):
     """Expire drops old manifests and ONLY data files no survivor
     references: append-lineage files shared with kept snapshots survive,
