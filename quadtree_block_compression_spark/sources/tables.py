@@ -237,6 +237,35 @@ def merge_versioned(spark: SparkSession, path: str, updates: DataFrame,
                            properties=properties)
 
 
+def rollback_versioned(path: str, to_version: int,
+                       properties: dict | None = None) -> int:
+    """Roll the table back to ``to_version`` (Iceberg
+    ``rollback_to_snapshot``): publish a NEW snapshot whose file list and
+    schema are the old snapshot's — history is never rewritten (the bad
+    snapshots stay readable for audit), the table's latest just points at
+    the good state again. Pure manifest copy: no data movement, no Spark
+    job."""
+    import json
+    import os
+    versions = _manifest_versions(path)
+    if to_version not in versions:
+        raise ValueError(f"snapshot {to_version} not in {versions}")
+    with open(os.path.join(path, f"v{to_version}.json")) as fh:
+        old = json.load(fh)
+    n = versions[-1] + 1
+    manifest = {"snapshot": n, "files": old["files"],
+                "schema": old["schema"],
+                "properties": {**dict(properties or {}),
+                               "rollback_of": to_version}}
+    if "sort_order" in old:
+        manifest["sort_order"] = old["sort_order"]
+    tmp = os.path.join(path, f".v{n}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(path, f"v{n}.json"))
+    return n
+
+
 def delete_versioned(spark: SparkSession, path: str, predicate: str,
                      properties: dict | None = None) -> int:
     """Row-level delete (Iceberg ``DELETE FROM``, copy-on-write): rows of

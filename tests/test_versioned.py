@@ -290,6 +290,24 @@ def test_cluster_by_zorder_file_layout(spark, tmp_path):
     assert snapshot_properties(pc, 1) == {}
 
 
+def test_rollback_versioned(spark, tmp_path):
+    """rollback_to_snapshot: a new manifest repoints latest at the old
+    state without rewriting history — the bad snapshot stays readable,
+    reads after rollback see the old rows, and the rollback provenance
+    rides as a snapshot property."""
+    from quadtree_block_compression_spark.sources.tables import (
+        rollback_versioned, snapshot_properties)
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark, [1, 2]), path)
+    write_versioned(_df(spark, [99]), path, mode="overwrite")  # the bad one
+    assert rollback_versioned(path, 1) == 3
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) == [1, 2]
+    assert [r.k for r in read_versioned(spark, path, 2).collect()] == [99]
+    assert snapshot_properties(path, 3) == {"rollback_of": 1}
+    with pytest.raises(ValueError):
+        rollback_versioned(path, 7)
+
+
 def test_delete_versioned_predicate(spark, tmp_path):
     """DELETE FROM semantics: matching rows dropped in one overwrite
     snapshot, prior snapshots intact for rollback."""
