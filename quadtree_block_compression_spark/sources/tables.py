@@ -72,17 +72,44 @@ def table_versions(path: str) -> list[int]:
     return _manifest_versions(path)
 
 
+def _publish_manifest(path: str, n: int, manifest: dict) -> int:
+    """Atomically publish ``v<n>.json`` via write-tmp-then-LINK.
+    ``link()`` is atomic fail-if-exists (POSIX) where ``rename`` would
+    silently OVERWRITE a racing writer's already-published manifest — a
+    lost update. On a lost race the caller's staged data files stay
+    unmanifested (invisible; ``remove_orphan_files`` reclaims them) and
+    the write is retried against the new latest."""
+    import json
+    import os
+    tmp = os.path.join(path, f".v{n}.json.{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, os.path.join(path, f"v{n}.json"))
+    except FileExistsError:
+        os.remove(tmp)
+        raise RuntimeError(
+            f"concurrent commit: snapshot {n} was published by another "
+            "writer while this one staged; retry against the new latest"
+        ) from None
+    os.remove(tmp)
+    return n
+
+
 def write_versioned(df: DataFrame, path: str, mode: str = "append",
                     properties: dict | None = None,
                     cluster_by: list[str] | None = None,
                     cluster_files: int = 8) -> int:
     """Commit ``df`` as a new snapshot of the versioned table at ``path``.
 
-    Data files land in ``path/data/s<n>/`` first; the snapshot only becomes
-    visible when ``v<n>.json`` (file list + schema) is published via
-    write-tmp-then-rename — a reader can never observe a half-written
-    snapshot, and an orphaned data directory (e.g. a crashed writer) is
-    invisible forever. ``mode="append"`` carries the previous snapshot's
+    Data files land in a UNIQUE staging dir ``path/data/s<n>-<token>/``
+    first; the snapshot only becomes visible when ``v<n>.json`` (file list
+    + schema) is published via write-tmp-then-atomic-link — a reader can
+    never observe a half-written snapshot, a crashed or race-losing
+    writer's staging dir is invisible (``remove_orphan_files`` reclaims
+    it), and two racing writers cannot lose an update: the second publish
+    of the same snapshot number fails loudly (compare-and-swap) instead of
+    overwriting the first. ``mode="append"`` carries the previous snapshot's
     files forward; ``mode="overwrite"`` starts the file list fresh (old
     snapshots stay readable — nothing is deleted). ``properties`` is an
     optional JSON dict pinned to the snapshot (Iceberg's snapshot summary
@@ -108,16 +135,14 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append",
         raise ValueError(f"unknown mode {mode!r}")
     if cluster_by:
         df = _cluster_zorder(df, list(cluster_by), cluster_files)
+    import uuid
     versions = _manifest_versions(path)
     n = (versions[-1] if versions else 0) + 1
-    data_dir = os.path.join(path, "data", f"s{n}")
-    # crash recovery: an existing s<n> with no v<n>.json is a crashed
-    # writer's orphan (publication is the LAST step, so a manifested
-    # snapshot can never collide with a fresh n) — remove it so the retry
-    # commits cleanly instead of erroring on the leftover directory
-    if os.path.isdir(data_dir):
-        import shutil
-        shutil.rmtree(data_dir)
+    # unique staging dir per write ATTEMPT (Iceberg's layout): a crashed
+    # or concurrently-racing writer can never collide with, block, or
+    # delete another attempt's files — its leftovers are simply never
+    # manifested (invisible) until remove_orphan_files reclaims them
+    data_dir = os.path.join(path, "data", f"s{n}-{uuid.uuid4().hex[:8]}")
     df.write.mode("errorifexists").parquet(data_dir)
     new_files = sorted(_glob.glob(os.path.join(data_dir, "*.parquet")))
     files = new_files
@@ -130,11 +155,7 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append",
     if cluster_by:
         manifest["sort_order"] = {"kind": "zorder",
                                   "columns": list(cluster_by)}
-    tmp = os.path.join(path, f".v{n}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(path, f"v{n}.json"))
-    return n
+    return _publish_manifest(path, n, manifest)
 
 
 _ZBITS = 16  # bits per dimension; 16×2 dims (or 10×3) stays inside a long
@@ -259,11 +280,7 @@ def rollback_versioned(path: str, to_version: int,
                                "rollback_of": to_version}}
     if "sort_order" in old:
         manifest["sort_order"] = old["sort_order"]
-    tmp = os.path.join(path, f".v{n}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(path, f"v{n}.json"))
-    return n
+    return _publish_manifest(path, n, manifest)
 
 
 def delete_versioned(spark: SparkSession, path: str, predicate: str,
@@ -296,6 +313,42 @@ def compact_versioned(spark: SparkSession, path: str, target_files: int = 8,
     return write_versioned(cur, path, mode="overwrite",
                            properties=properties, cluster_by=cluster_by,
                            cluster_files=target_files)
+
+
+def remove_orphan_files(path: str, older_than_seconds: float = 86400.0) -> dict:
+    """Iceberg's ``remove_orphan_files``: delete staging directories no
+    manifest references — the leftovers of crashed or race-losing writers.
+
+    Works at DIRECTORY granularity because staging dirs are per-commit and
+    immutable: a dir containing even one manifested parquet file serves a
+    snapshot and is skipped (``expire_snapshots`` handles file-level
+    retention). The age gate (newest mtime in the dir must be older than
+    ``older_than_seconds``) keeps an IN-PROGRESS writer's staging dir safe
+    — the same reason Iceberg's procedure defaults to 3 days. Returns
+    ``{"deleted_dirs": n, "deleted_files": m}``."""
+    import glob as _glob
+    import json
+    import os
+    import shutil
+    import time
+    refs: set[str] = set()
+    for v in _manifest_versions(path):
+        with open(os.path.join(path, f"v{v}.json")) as fh:
+            refs.update(os.path.realpath(f) for f in json.load(fh)["files"])
+    cutoff = time.time() - older_than_seconds
+    deleted_dirs = deleted_files = 0
+    for d in sorted(_glob.glob(os.path.join(path, "data", "*"))):
+        if not os.path.isdir(d):
+            continue
+        names = [os.path.join(dp, f) for dp, _, fs in os.walk(d) for f in fs]
+        if any(os.path.realpath(f) in refs for f in names):
+            continue
+        if any(os.path.getmtime(f) > cutoff for f in names):
+            continue  # possibly a live writer still staging
+        shutil.rmtree(d)
+        deleted_dirs += 1
+        deleted_files += len(names)
+    return {"deleted_dirs": deleted_dirs, "deleted_files": deleted_files}
 
 
 def expire_snapshots(path: str, keep_last: int = 1) -> dict:

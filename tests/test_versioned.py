@@ -41,28 +41,66 @@ def test_append_overwrite_and_time_travel(spark, tmp_path):
 def test_unpublished_files_invisible(spark, tmp_path):
     """A data file with no manifest entry (crashed writer, stray copy) is
     never scanned — visibility is decided ONLY by the published manifest."""
+    import glob
     path = str(tmp_path / "tbl")
     write_versioned(_df(spark, [1, 2]), path)
-    # orphan: a whole unpublished snapshot directory
-    _df(spark, [99]).write.parquet(os.path.join(path, "data", "s999"))
-    # stray file inside a PUBLISHED snapshot dir, added after the commit
+    # orphan: a whole unpublished staging directory
+    _df(spark, [99]).write.parquet(os.path.join(path, "data", "s999-dead"))
+    # stray file inside a PUBLISHED snapshot's dir, added after the commit
+    (s1_dir,) = glob.glob(os.path.join(path, "data", "s1-*"))
     _df(spark, [98]).toPandas().to_parquet(
-        os.path.join(path, "data", "s1", "stray.parquet"))
+        os.path.join(s1_dir, "stray.parquet"))
     assert sorted(r.k for r in read_versioned(spark, path).collect()) == [1, 2]
 
 
-def test_crashed_writer_orphan_does_not_block_next_commit(spark, tmp_path):
-    """A crashed writer leaves data/s<n> WITHOUT v<n>.json; the retry (or
-    any later commit) must reclaim that slot cleanly — publication is the
-    last step, so an unmanifested s<n> is orphaned by construction, and
-    none of its rows may leak into the recovered snapshot."""
+def test_crashed_writer_never_blocks_and_orphans_are_reclaimed(spark,
+                                                               tmp_path):
+    """Staging dirs are unique per write attempt: a crashed writer's
+    leftover can never collide with (or be deleted by) the retry, its rows
+    never leak, and remove_orphan_files reclaims it — but only past the
+    age gate, and never a dir a manifest references."""
+    import glob
+    from quadtree_block_compression_spark.sources.tables import (
+        remove_orphan_files)
     path = str(tmp_path / "tbl")
     write_versioned(_df(spark, [1, 2]), path)
-    # simulate the crash: the NEXT slot's directory exists, unpublished
-    _df(spark, [99, 98]).write.parquet(os.path.join(path, "data", "s2"))
+    # simulate a crash: a staged-but-never-published attempt at snapshot 2
+    _df(spark, [99, 98]).write.parquet(os.path.join(path, "data", "s2-dead"))
     assert write_versioned(_df(spark, [3]), path, mode="append") == 2
     assert sorted(r.k for r in read_versioned(spark, path).collect()) \
         == [1, 2, 3]
+    # age gate: a fresh dir could be a LIVE writer mid-stage — kept
+    assert remove_orphan_files(path)["deleted_dirs"] == 0
+    out = remove_orphan_files(path, older_than_seconds=0)
+    assert out["deleted_dirs"] == 1 and out["deleted_files"] >= 1
+    assert glob.glob(os.path.join(path, "data", "s2-dead")) == []
+    # manifested dirs untouched; the table still reads
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) \
+        == [1, 2, 3]
+
+
+def test_concurrent_commit_loses_cleanly(spark, tmp_path):
+    """The publish is compare-and-swap: if another writer published v<n>
+    while this one staged, the commit raises instead of silently
+    overwriting the winner's manifest; the loser's staged files stay
+    invisible and the winner's snapshot is intact."""
+    import json
+    from quadtree_block_compression_spark.sources import tables as T
+    path = str(tmp_path / "tbl")
+    write_versioned(_df(spark, [1]), path)
+    schema = json.loads(_df(spark, [1]).schema.json())
+    # the winner publishes v2 in the interleave window (between the
+    # loser's version read and its publish)
+    assert T._publish_manifest(path, 2, {
+        "snapshot": 2, "files": [], "schema": schema,
+        "properties": {"winner": "other"}}) == 2
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        T._publish_manifest(path, 2, {
+            "snapshot": 2, "files": ["/nonexistent/loser.parquet"],
+            "schema": schema, "properties": {"winner": "loser"}})
+    # winner's manifest untouched — no silent lost update
+    assert T.snapshot_properties(path, 2) == {"winner": "other"}
+    assert read_versioned(spark, path).count() == 0
 
 
 def test_schema_pinned_per_snapshot(spark, tmp_path):
