@@ -542,25 +542,30 @@ def _components_prefix_sql() -> str:
                      FROM reach GROUP BY src),"""
 
 
-def _caption_values(n: int) -> str:
-    """(image_id, caption) VALUES rows for the first ``n`` fixture images —
-    metadata-only constants (no pixel synthesis), single quotes escaped."""
+def _caption_rows(n: int) -> list:
+    """(i, image_id, sql-escaped caption) triples for the first ``n``
+    fixture images — ONE generator behind both VALUES helpers so escaping
+    and fixture params cannot silently diverge between the caption
+    oracles."""
     from quadtree_block_compression_spark.fixtures.images import images_meta_pandas
     pdf = images_meta_pandas(n, seed=42, max_side=128)
-    return ", ".join(
-        "('{}', '{}')".format(r.image_id, r.caption.replace("'", "''"))
-        for r in pdf.itertuples())
+    return [(i, r.image_id, r.caption.replace("'", "''"))
+            for i, r in enumerate(pdf.itertuples())]
 
 
 def _caption_values_indexed(n: int) -> str:
     """(i, image_id, caption) VALUES rows — generator ORDER carried as an
     explicit index so an oracle can slice "the first 8" / "rows 4..11"
     without assuming id sort order equals generation order."""
-    from quadtree_block_compression_spark.fixtures.images import images_meta_pandas
-    pdf = images_meta_pandas(n, seed=42, max_side=128)
-    return ", ".join(
-        "({}, '{}', '{}')".format(i, r.image_id, r.caption.replace("'", "''"))
-        for i, r in enumerate(pdf.itertuples()))
+    return ", ".join(f"({i}, '{img}', '{cap}')"
+                     for i, img, cap in _caption_rows(n))
+
+
+def _caption_values(n: int) -> str:
+    """(image_id, caption) VALUES rows — unindexed projection of the same
+    generator."""
+    return ", ".join(f"('{img}', '{cap}')"
+                     for _, img, cap in _caption_rows(n))
 
 
 def _phash_fixture_ids_values() -> str:
@@ -716,8 +721,13 @@ def _gate_table_dir(name: str) -> str:
     import shutil
     import tempfile
     import threading
-    path = os.path.join(tempfile.gettempdir(),
-                        f"{name}_{threading.get_ident()}")
+    # pid + thread ident: thread idents alone collide ACROSS processes
+    # (the main thread's pthread address is often identical), and a
+    # concurrent gate run wiping another process's live table would break
+    # its pending lazy read
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"{name}_{os.getpid()}_{threading.get_ident()}")
     shutil.rmtree(path, ignore_errors=True)
     return path
 
@@ -3175,8 +3185,10 @@ def oracle_sql() -> dict[str, str]:
             -- constants; unicode captions exercise md5/UTF-8 parity
             WITH imgs(image_id, caption) AS (VALUES {_caption_values(48)}),
             keyed AS (
+              -- coalesce pins the engine's NULL-caption → '' singleton rule
               SELECT image_id,
-                     trim(regexp_replace(caption, '\\s*\\[[^\\]]*\\]$', ''))
+                     coalesce(trim(regexp_replace(caption,
+                                   '\\s*\\[[^\\]]*\\]$', '')), '')
                        AS caption_norm
               FROM imgs),
             hashed AS (

@@ -84,8 +84,12 @@ def caption_dedup(images: DataFrame, id_col: str = "image_id",
     """
     from pyspark.sql import Window
     from ..functions.portable_hash import portable_hash64
-    norm = F.trim(F.regexp_replace(F.col(caption_col),
-                                   r"\s*\[[^\]]*\]$", ""))
+    # NULL caption normalizes to '' (an untitled image), not NULL — a NULL
+    # norm would NULL the fingerprint AND the singleton subkey below,
+    # collapsing every NULL-caption image into one dedup group
+    norm = F.coalesce(F.trim(F.regexp_replace(F.col(caption_col),
+                                              r"\s*\[[^\]]*\]$", "")),
+                      F.lit(""))
     keyed = images.select(
         id_col, norm.alias("caption_norm"),
         portable_hash64(norm).alias("caption_fp"))

@@ -81,7 +81,11 @@ def _publish_manifest(path: str, n: int, manifest: dict) -> int:
     the write is retried against the new latest."""
     import json
     import os
-    tmp = os.path.join(path, f".v{n}.json.{os.getpid()}.tmp")
+    import uuid
+    # per-ATTEMPT unique tmp: pid alone is shared by threads of one
+    # driver, and two in-process committers truncating each other's tmp
+    # would publish a half-written manifest through the link below
+    tmp = os.path.join(path, f".v{n}.json.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
     try:
@@ -291,7 +295,11 @@ def delete_versioned(spark: SparkSession, path: str, predicate: str,
     snapshot — prior snapshots stay readable, so a bad delete is rolled
     back by reading the previous version. One filtered scan + write; the
     predicate pushes down to the parquet scan like any filter."""
-    kept = read_versioned(spark, path).where(f"NOT ({predicate})")
+    # DELETE removes rows where the predicate is TRUE; a NULL predicate
+    # (e.g. a null column in a comparison) must KEEP the row — a bare
+    # NOT(p) filter would silently drop it
+    kept = read_versioned(spark, path).where(
+        f"NOT coalesce(({predicate}), false)")
     return write_versioned(kept, path, mode="overwrite",
                            properties=properties)
 
@@ -340,10 +348,20 @@ def remove_orphan_files(path: str, older_than_seconds: float = 86400.0) -> dict:
     for d in sorted(_glob.glob(os.path.join(path, "data", "*"))):
         if not os.path.isdir(d):
             continue
-        names = [os.path.join(dp, f) for dp, _, fs in os.walk(d) for f in fs]
+        names, mtimes = [], [os.path.getmtime(d)]
+        for dp, ds, fs in os.walk(d):
+            mtimes.extend(os.path.getmtime(os.path.join(dp, x))
+                          for x in ds)
+            for f in fs:
+                fp = os.path.join(dp, f)
+                names.append(fp)
+                mtimes.append(os.path.getmtime(fp))
         if any(os.path.realpath(f) in refs for f in names):
             continue
-        if any(os.path.getmtime(f) > cutoff for f in names):
+        # age-gate on DIRECTORY mtimes too: a live writer's staging dir
+        # exists before its first file does, and an empty dir must not be
+        # vacuously "old"
+        if any(m > cutoff for m in mtimes):
             continue  # possibly a live writer still staging
         shutil.rmtree(d)
         deleted_dirs += 1

@@ -127,11 +127,12 @@ def test_caption_dedup_empty_captions_stay_singletons(spark):
     from quadtree_block_compression_spark.operators.dedup_images import (
         caption_dedup)
     rows = [("i1", ""), ("i2", "   "), ("i3", "[source#9]"),
-            ("i4", "real caption"), ("i5", "real caption")]
+            ("i4", "real caption"), ("i5", "real caption"),
+            ("i6", None), ("i7", None)]  # NULL caption ≡ untitled too
     out = {r.image_id: r for r in caption_dedup(
         spark.createDataFrame(
             pd.DataFrame(rows, columns=["image_id", "caption"]))).collect()}
-    for i in ("i1", "i2", "i3"):
+    for i in ("i1", "i2", "i3", "i6", "i7"):
         assert out[i].caption_norm == ""
         assert out[i].group_size == 1
         assert out[i].canonical_id == i and out[i].is_canonical

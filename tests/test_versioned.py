@@ -347,16 +347,20 @@ def test_rollback_versioned(spark, tmp_path):
 
 
 def test_delete_versioned_predicate(spark, tmp_path):
-    """DELETE FROM semantics: matching rows dropped in one overwrite
-    snapshot, prior snapshots intact for rollback."""
+    """DELETE FROM semantics: rows where the predicate is TRUE are
+    dropped; FALSE **and NULL** rows are kept (SQL DELETE never removes a
+    NULL-predicate row); prior snapshots intact for rollback."""
     from quadtree_block_compression_spark.sources.tables import (
         delete_versioned)
     path = str(tmp_path / "tbl")
-    write_versioned(_df(spark, [1, 2, 3, 4]), path)
+    nullable = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4, 5],
+                      "v": [10.0, 20.0, 30.0, 40.0, None]}))
+    write_versioned(nullable, path)
     assert delete_versioned(spark, path, "v >= 30") == 2
-    assert sorted(r.k for r in read_versioned(spark, path).collect()) == [1, 2]
-    assert sorted(r.k for r in
-                  read_versioned(spark, path, 1).collect()) == [1, 2, 3, 4]
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) \
+        == [1, 2, 5]  # k=5 has v NULL → predicate NULL → KEPT
+    assert read_versioned(spark, path, 1).count() == 5
 
 
 def test_compact_versioned_folds_files(spark, tmp_path):
