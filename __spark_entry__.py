@@ -64,7 +64,12 @@ def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quadtree_block_compression_spark.operators.spatial_join import block_centroids  # noqa
     from pyspark.sql.pandas.functions import pandas_udf
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    from quadtree_block_compression_spark.functions.parallelism import spread
+
+    # spread: customer.parquet is a ~3 MB scan (2 splits at sf1), so the
+    # cell-encode UDF and every downstream PIP/kNN join would otherwise run
+    # on 2 of 32 cores (r6 finding, CLAUDE spread invariant)
+    cust = spread(spark.read.parquet(f"{sf_dir}/customer.parquet"))
     pts = cust.select(
         F.col("c_custkey").cast("string").alias("image_id"),
         F.lit("").alias("tile_id"),

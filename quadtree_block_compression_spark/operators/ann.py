@@ -54,10 +54,17 @@ from ..functions.bucketing import cap_by_key as _cap_by_key
 
 
 def _norm(col):
+    """L2 norm via the zip_with/aggregate fold. NOTE (r6): an experiment
+    unrolled this fold to a fixed getItem multiply-add chain on the theory
+    that higher-order functions are CodegenFallback — MEASURED SLOWER on
+    Spark 4.1 (500k-row 64-dim dot: fold 0.35s vs unrolled 1.24s; the deep
+    Add chain degrades codegen while the fold path is already efficient).
+    Keep the fold."""
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def _dot(a, b):
+    """Dot product fold (see :func:`_norm` for why this is NOT unrolled)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
                        lambda acc, x: acc + x)
 
@@ -65,9 +72,8 @@ def _dot(a, b):
 def _unit(col):
     """L2-normalized copy of an array<double> column. Normalizing ONCE per
     vector lets every pairwise cosine be a single fold (dot of unit vectors)
-    instead of three — the HOF folds are interpreted, not codegen'd, so at
-    ~250k candidate pairs this is the verify stage's dominant cost
-    (measured ~2× at sf0.1).
+    instead of three — at ~250k candidate pairs this is the verify stage's
+    dominant cost (measured ~2× at sf0.1).
 
     The norm rides in via ``array_repeat`` so it evaluates ONCE per row: a
     ``transform(col, x -> x / n)`` would inline the whole norm fold into
@@ -76,6 +82,22 @@ def _unit(col):
     n = F.greatest(_norm(col), F.lit(1e-12))
     return F.zip_with(col, F.array_repeat(n, F.size(col)),
                       lambda x, nv: x / nv)
+
+
+def _unit_select(df: DataFrame, vec_expr, dim: int, out: str = "vn",
+                 keep: list[str] | None = None,
+                 extra_from_v=None) -> DataFrame:
+    """``df`` + a unit-normalized copy of ``vec_expr`` as ``out`` (plus
+    optional extra columns computed from the same hoisted cast vector via
+    ``extra_from_v``: callable(v_col) -> list[Column]). The cast vector is
+    hoisted to a column (multi-referenced and non-cheap → survives
+    CollapseProject) so the sign projections and the unit copy share ONE
+    cast instead of re-casting per consumer."""
+    keep = keep if keep is not None else []
+    v = F.col("__v")
+    base = df.select(*keep, vec_expr.cast("array<double>").alias("__v"))
+    extras = list(extra_from_v(v)) if extra_from_v is not None else []
+    return base.select(*keep, _unit(v).alias(out), *extras)
 
 
 def with_unit_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -92,16 +114,20 @@ def cosine_topk_bruteforce(emb: DataFrame, queries: DataFrame, k: int = 5,
     cross-engine float stability, self-matches excluded when ids collide.
     """
     # vectors normalized per row, not per pair (the join is quadratic), so
-    # each pair costs one fold
-    e = emb.select(F.col(id_col),
-                   _unit(F.col(vec_col).cast("array<double>")).alias("vn"))
+    # each pair costs one fold. spread: the embeddings table is a narrow
+    # single-digit-MB scan (3 splits at sf1) and the quadratic verify would
+    # otherwise run on 3 of 32 cores (r6 finding, CLAUDE spread invariant)
+    from ..functions.parallelism import spread
+    e = spread(emb).select(F.col(id_col),
+                           _unit(F.col(vec_col).cast("array<double>")).alias("vn"))
     q = queries.select(F.col(q_id_col).alias("q_id"),
                        _unit(F.col(q_vec_col).cast("array<double>")).alias("qn"))
     cand = (e.crossJoin(broadcast(q))
             .where(F.col(id_col) != F.col("q_id"))
             .withColumn("cos", F.round(_dot(F.col("vn"), F.col("qn")), 6)))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
-    return (cand.withColumn("rank", F.row_number().over(w))
+    return (cand.select("q_id", F.col(id_col), "cos")
+            .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("q_id", F.col(id_col), "cos", "rank"))
 
@@ -124,14 +150,21 @@ def hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
 
 def _hyperplane_sign_cols(vec_col: str, dim: int, num_planes: int):
     """One 0/1 sign column per plane (JVM-only): the ±1 matrices are tiny and
-    embedded as array literals, so the projection is pure whole-stage-codegen
-    and reproducible from the same constants in the SQL oracle."""
+    embedded as array literals, reproducible from the same constants in the
+    SQL oracle. Kept as zip_with/aggregate folds — the unrolled multiply-add
+    chain measured SLOWER on Spark 4.1 (see :func:`_norm`)."""
+    return _sign_cols_from(F.col(vec_col).cast("array<double>"),
+                           dim, num_planes)
+
+
+def _sign_cols_from(v, dim: int, num_planes: int):
+    """Sign columns over an already-hoisted array<double> column ``v``
+    (call sites that also unit-normalize share the one cast vector)."""
     planes = hyperplane_signs(num_planes, dim)
     cols = []
     for p, signs in enumerate(planes):
         arr = F.array(*[F.lit(s) for s in signs])
-        proj = F.aggregate(F.zip_with(F.col(vec_col).cast("array<double>"), arr,
-                                      lambda x, s: x * s),
+        proj = F.aggregate(F.zip_with(v, arr, lambda x, s: x * s),
                            F.lit(0.0), lambda acc, x: acc + x)
         cols.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{p}"))
     return cols
@@ -159,17 +192,19 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     """
     if num_planes is None:
         num_planes = auto_num_planes(emb.count(), target_bucket=target_bucket)
-    sign_cols = _hyperplane_sign_cols(vec_col, dim, num_planes)
     # bucket bits come from the RAW vector (sign is scale-invariant, and the
     # SQL oracle replicates the raw-vector projection); the verify side
-    # carries the unit vector so each candidate costs one fold
-    e = emb.select(F.col(id_col),
-                   _unit(F.col(vec_col).cast("array<double>")).alias("vn"),
-                   *sign_cols)
-    q_sign_cols = _hyperplane_sign_cols(q_vec_col, dim, num_planes)
-    q = queries.select(F.col(q_id_col).alias("q_id"),
-                       _unit(F.col(q_vec_col).cast("array<double>")).alias("qn"),
-                       *q_sign_cols)
+    # carries the unit vector so each candidate costs one dot. Signs and
+    # unit copy share ONE hoisted cast vector; spread first — the narrow
+    # embeddings scan is a handful of splits and the per-row sign folds
+    # would otherwise serialize on those few cores (r6)
+    from ..functions.parallelism import spread
+    e = _unit_select(spread(emb), F.col(vec_col), dim, out="vn", keep=[id_col],
+                     extra_from_v=lambda v: _sign_cols_from(v, dim, num_planes))
+    q = _unit_select(queries.select(F.col(q_id_col).alias("q_id"),
+                                    F.col(q_vec_col).alias("qv")),
+                     F.col("qv"), dim, out="qn", keep=["q_id"],
+                     extra_from_v=lambda v: _sign_cols_from(v, dim, num_planes))
 
     half = num_planes // 2
 
@@ -191,17 +226,23 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
             return F.array(col)
         return F.array(col, *[col.bitwiseXOR(F.lit(1 << i)) for i in range(half)])
 
+    # cos is computed IN each tier's join projection so the cross-tier
+    # dedup exchanges (id, q_id, cos) scalars, never the two dim-wide
+    # vectors (r6, guide §2.3 — shuffle keys, not payloads; cos is a
+    # deterministic function of the pair, so dedup-then-cos and
+    # cos-then-dedup are identical)
     cand = None
     for key in ("k1", "k2"):
         side = eb.select(id_col, "vn", F.col(key).alias("kk"))
         if max_bucket is not None:
             side = _cap_by_key(side, ["kk"], max_bucket)
         qk = (qb.select("q_id", "qn", F.explode(probes(F.col(key))).alias("kk")))
-        c = side.join(broadcast(qk), "kk").select(id_col, "vn", "q_id", "qn")
+        c = (side.join(broadcast(qk), "kk")
+             .where(F.col(id_col) != F.col("q_id"))
+             .select(id_col, "q_id",
+                     F.round(_dot(F.col("vn"), F.col("qn")), 6).alias("cos")))
         cand = c if cand is None else cand.unionByName(c)
-    cand = (cand.dropDuplicates([id_col, "q_id"])
-            .where(F.col(id_col) != F.col("q_id"))
-            .withColumn("cos", F.round(_dot(F.col("vn"), F.col("qn")), 6)))
+    cand = cand.dropDuplicates([id_col, "q_id"])
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -225,7 +266,18 @@ def ivf_build(emb: DataFrame, k: int = 16, iters: int = 5,
     centroids = np.array([list(r[0]) for r in seed_rows], dtype=np.float64)
     centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
-    e = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    # spread: the narrow embeddings scan is a handful of splits; every
+    # Lloyd iteration's assign UDF + centroid aggregate would otherwise run
+    # on those few cores (r6). The per-(cluster, pos) double sums change
+    # grouping order under repartition only at the last ulp — assignment
+    # argmax margins dwarf that (oracle-checked at the gate SFs).
+    # persist_tracked: every iteration (and the final assign) re-reads this
+    # projection — uncached, each pass would repeat the scan + repartition.
+    from ..functions.cache import persist_tracked
+    from ..functions.parallelism import spread
+    e = persist_tracked(
+        spread(emb).select(F.col(id_col),
+                           F.col(vec_col).cast("array<double>").alias("v")))
 
     for _ in range(iters):
         cen = centroids  # capture by value for the closure
@@ -301,11 +353,13 @@ def cosine_topk_ivf(emb: DataFrame, queries: DataFrame, k: int = 5,
                         F.col(q_vec_col).cast("array<double>").alias("qv"))
          .withColumn("cluster", F.explode(probes("qv")))
          .withColumn("qn", _unit(F.col("qv"))))
-
-    cand = (assigned.withColumn("vn", _unit(F.col("v")))
-            .join(broadcast(q), "cluster")
+    e = assigned.withColumn("vn", _unit(F.col("v")))
+    # cos computed before the (id, q_id) dedup so the exchange carries
+    # scalars, not vectors (r6; cos is deterministic per pair)
+    cand = (e.join(broadcast(q), "cluster")
             .where(F.col(id_col) != F.col("q_id"))
-            .withColumn("cos", F.round(_dot(F.col("vn"), F.col("qn")), 6)))
+            .select(id_col, "q_id",
+                    F.round(_dot(F.col("vn"), F.col("qn")), 6).alias("cos")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (cand.dropDuplicates([id_col, "q_id"])
             .withColumn("rank", F.row_number().over(w))
@@ -415,15 +469,16 @@ def ivf_probe_index(spark, path: str, queries: DataFrame, k: int = 5,
 
     q = (queries.select(F.col(q_id_col).alias("q_id"),
                         F.col(q_vec_col).cast("array<double>").alias("qv"))
-         .withColumn("cluster", F.explode(probes("qv")))
-         .withColumn("qn", _unit(F.col("qv"))))
+         .withColumn("cluster", F.explode(probes("qv"))))
+    q = q.withColumn("qn", _unit(F.col("qv")))
     probed = [int(r.cluster) for r in q.select("cluster").distinct().collect()]
     index = (spark.read.parquet(path)
              .where(F.col("cluster").isin(probed))  # partition pruning
              .withColumn("vn", _unit(F.col("v"))))
     cand = (index.join(broadcast(q), "cluster")
             .where(F.col(id_col) != F.col("q_id"))
-            .withColumn("cos", F.round(_dot(F.col("vn"), F.col("qn")), 6)))
+            .select(id_col, "q_id",
+                    F.round(_dot(F.col("vn"), F.col("qn")), 6).alias("cos")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(id_col))
     return (cand.dropDuplicates([id_col, "q_id"])
             .withColumn("rank", F.row_number().over(w))
@@ -454,10 +509,13 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int =
     if num_planes is None:
         n = emb.count()  # parquet footer count — metadata-cheap
         num_planes = auto_num_planes(n, target_bucket=target_bucket)
-    sign_cols = _hyperplane_sign_cols(vec_col, dim, num_planes)
-    e = (emb.select(F.col(id_col),
-                    _unit(F.col(vec_col).cast("array<double>")).alias("vn"),
-                    *sign_cols))
+    # one hoisted cast vector feeds the signs + norm + unit copy; spread
+    # first — the narrow embeddings scan arrives as ~3 splits at sf1 and
+    # the num_planes·dim per-row sign folds would otherwise run on 3 of 32
+    # cores (r6 finding, CLAUDE spread invariant)
+    from ..functions.parallelism import spread
+    e = _unit_select(spread(emb), F.col(vec_col), dim, out="vn", keep=[id_col],
+                     extra_from_v=lambda v: _sign_cols_from(v, dim, num_planes))
     half = num_planes // 2
 
     def bucket(lo, hi):
@@ -469,6 +527,13 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int =
     # persisted: the bucket table feeds both sides of each banded self-join
     eb = persist_tracked(e.select(id_col, "vn", bucket(0, half).alias("k1"),
                                   bucket(half, num_planes).alias("k2")))
+    # cos is computed IN each tier's join projection and the ≥threshold
+    # filter applied BEFORE the cross-tier dedup: the dedup exchange then
+    # carries only surviving (a, b, cos) scalar rows instead of every
+    # candidate pair with BOTH dim-wide vectors attached (r6, guide §2.3 —
+    # at sf1 that exchange was ~1 GB of arrays plus a SortAggregate; cos is
+    # a deterministic function of (a, b), so filter/dedup order is
+    # immaterial to the result)
     pairs = None
     for key in ("k1", "k2"):
         keyed = eb.select(id_col, "vn", F.col(key).alias("kk"))
@@ -476,9 +541,10 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.98, dim: int =
             keyed = _cap_by_key(keyed, ["kk"], max_bucket)
         a = keyed.select(F.col(id_col).alias("a"), F.col("vn").alias("va"), "kk")
         b = keyed.select(F.col(id_col).alias("b"), F.col("vn").alias("vb"), "kk")
-        p = a.join(b, "kk").where(F.col("a") < F.col("b")).select("a", "b", "va", "vb")
+        p = (a.join(b, "kk").where(F.col("a") < F.col("b"))
+             .select("a", "b",
+                     F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cos"))
+             .where(F.col("cos") >= threshold))
         pairs = p if pairs is None else pairs.unionByName(p)
     return (pairs.dropDuplicates(["a", "b"])
-            .withColumn("cos", F.round(_dot(F.col("va"), F.col("vb")), 6))
-            .where(F.col("cos") >= threshold)
             .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), "cos"))

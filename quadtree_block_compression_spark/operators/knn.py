@@ -138,9 +138,14 @@ def knn_ring(points: DataFrame, queries: DataFrame,
                          pts["cell"] == F.col("join_cell"))
                 .select("query_id", "image_id", "tile_id",
                         F.sqrt(F.pow(F.col("wx") - F.col("x"), 2)
-                               + F.pow(F.col("wy") - F.col("y"), 2)).alias("distance")))
+                               + F.pow(F.col("wy") - F.col("y"), 2)).alias("distance"))
+                # checkpoint the DELTA only: checkpointing the growing union
+                # re-materialized every prior round's candidate rows once
+                # per round (O(rounds · |gathered|) writes); a union of
+                # per-round checkpoints keeps lineage one node deep per leg
+                # at O(|gathered|) total writes (r6)
+                .localCheckpoint(eager=True))
         gathered = cand if gathered is None else gathered.unionByName(cand)
-        gathered = gathered.localCheckpoint(eager=True)  # bound plan growth
         # kth-best distance per query so far; done ⇔ dk < ring·c STRICTLY:
         # an unseen point beyond shell `ring` is ≥ ring·c away, so with
         # dk < ring·c nothing unseen can beat OR TIE the current top-k. The
@@ -150,8 +155,15 @@ def knn_ring(points: DataFrame, queries: DataFrame,
         # with a smaller id would deterministically displace rank k under
         # the (distance, id) tie-break. Strict costs at most one extra
         # ring for the measure-zero exact-equality queries.
+        # The window ranks only rows of still-PENDING queries (semi-join):
+        # a finished query can never un-finish, so re-ranking its rows
+        # every later round was pure waste — round 2+ touches the small
+        # unsatisfied tail instead of every query's candidates (r6).
         wq = Window.partitionBy("query_id").orderBy("distance", "image_id", "tile_id")
-        done = (gathered.withColumn("_rn", F.row_number().over(wq))
+        g_pend = gathered.join(
+            (broadcast(pending) if use_broadcast else pending).select("query_id"),
+            "query_id", "left_semi")
+        done = (g_pend.withColumn("_rn", F.row_number().over(wq))
                 .join(q.select("query_id", "k"), "query_id")
                 .filter((F.col("_rn") == F.col("k"))
                         & (F.col("distance") < F.lit(float(ring) * cell_width)))
