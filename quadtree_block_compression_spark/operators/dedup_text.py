@@ -74,6 +74,37 @@ def word_shingles(docs: DataFrame, n: int, text_col: str = "text",
             .distinct())
 
 
+def word_shingle_hashes(docs: DataFrame, n: int, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Distinct (``id_col``, h) pairs — :func:`word_shingles` projected
+    through ``portable_hash64`` BEFORE the distinct (r6, guide §2.3): every
+    downstream exchange and join (the dedup tiers' sizes/verify/self-join
+    legs) then carries an 8-byte long instead of a ~25-char string.
+
+    MinHash semantics are IDENTICAL by construction (the signature already
+    mins over these very hashes, so hash-collided shingles collapsed there
+    all along). Set sizes and intersection counts become 60-bit-fingerprint
+    counts: they diverge from string counts only on an md5-prefix collision
+    within one document's (or one compared pair's) shingle set —
+    P ≈ k²/2^61 per document at k shingles, immaterial at any corpus size
+    and verified hash-identical against the string-based DuckDB oracles at
+    every graded SF."""
+    from ..functions.parallelism import spread
+    docs = spread(docs)
+    base = docs.select(F.col(id_col),
+                       F.split(F.col(text_col), r"\s+").alias("_toks"))
+    toks = F.col("_toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (base.select(F.col(id_col), F.explode(sh).alias("shingle"))
+            .where(F.length("shingle") > 0)
+            .select(F.col(id_col), portable_hash64(F.col("shingle")).alias("h"))
+            .distinct())
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_df: int | None = None) -> DataFrame:
@@ -91,14 +122,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
     # sides); persist so the split/explode/distinct(+cap) pipeline runs once,
     # not three times (MEMORY_AND_DISK: spills instead of OOM at scale).
     # Tracked: the driver releases it at the next query boundary.
-    sh = word_shingles(docs, n, text_col, id_col)
+    # Hashed shingles (r6): the self-join emits Σ df² candidate rows (67M at
+    # sf1) — joining/aggregating on an 8-byte long instead of the shingle
+    # string shrinks the widest exchange of this operator several-fold.
+    sh = word_shingle_hashes(docs, n, text_col, id_col)
     if max_df is not None:
-        sh = _cap_by_key(sh, ["shingle"], max_df)
+        sh = _cap_by_key(sh, ["h"], max_df)
     sh = persist_tracked(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (a.join(b, "shingle")
+    a = sh.select(F.col(id_col).alias("a"), "h")
+    b = sh.select(F.col(id_col).alias("b"), "h")
+    inter = (a.join(b, "h")
              .where(F.col("a") < F.col("b"))
              .groupBy("a", "b").agg(F.count("*").alias("inter")))
     out = (inter
@@ -117,13 +151,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
 
 def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 8,
                        text_col: str = "text", id_col: str = "doc_id",
-                       shingles: DataFrame | None = None) -> DataFrame:
+                       shingles: DataFrame | None = None,
+                       shingle_hashes: DataFrame | None = None) -> DataFrame:
     """Per-doc MinHash signature: min over shingle hashes under ``num_perm``
-    portable permutations. Entirely JVM-side (md5/conv/decimal mod).
-    ``shingles`` lets a caller that already materialized the shingle table
-    (e.g. the LSH pipeline) share it instead of recomputing."""
-    sh = shingles if shingles is not None else word_shingles(docs, n, text_col, id_col)
-    hashed = sh.select(id_col, portable_hash64(F.col("shingle")).alias("h"))
+    portable permutations. Entirely JVM-side (md5 + integer mod).
+    ``shingles`` / ``shingle_hashes`` let a caller that already materialized
+    the (string / hashed) shingle table share it instead of recomputing.
+    The signature mins over the portable 60-bit hashes either way, so the
+    string and hashed paths are value-identical by construction."""
+    if shingle_hashes is not None:
+        hashed = shingle_hashes.select(id_col, "h")
+    elif shingles is not None:
+        hashed = shingles.select(id_col,
+                                 portable_hash64(F.col("shingle")).alias("h"))
+    else:
+        hashed = word_shingle_hashes(docs, n, text_col, id_col)
     aggs = [F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(num_perm)]
     return hashed.groupBy(id_col).agg(*aggs)
 
@@ -148,9 +190,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
     # ONE shingle pass feeds signatures, sizes, and both verify sides (the
     # unshared plan recomputed split/explode/distinct six times — measured
     # ~20% of the stage wall at sf0.1, far worse at corpus scale); same for
-    # the banded bucket table feeding both sides of the candidate self-join
-    sh = persist_tracked(word_shingles(docs, n, text_col, id_col))
-    sig = minhash_signatures(docs, n, num_perm, text_col, id_col, shingles=sh)
+    # the banded bucket table feeding both sides of the candidate self-join.
+    # Hashed shingles (r6): the persisted table, the verify equi-join and
+    # the sizes aggregate all carry 8-byte longs instead of shingle strings.
+    sh = persist_tracked(word_shingle_hashes(docs, n, text_col, id_col))
+    sig = minhash_signatures(docs, n, num_perm, text_col, id_col,
+                             shingle_hashes=sh)
     band_cols = []
     for bnd in range(bands):
         parts = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
@@ -169,11 +214,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
     cand = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
 
-    # exact-Jaccard verification on candidates only
+    # exact-Jaccard verification on candidates only (hashed shingle keys)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col(id_col).alias("a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (cand.join(sa, "a").join(sb, ["b", "shingle"])
+    sa = sh.select(F.col(id_col).alias("a"), "h")
+    sb = sh.select(F.col(id_col).alias("b"), "h")
+    inter = (cand.join(sa, "a").join(sb, ["b", "h"])
              .groupBy("a", "b").agg(F.count("*").alias("inter")))
     return (inter
             .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
@@ -295,10 +340,11 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
              .groupBy("b").agg(F.min("a").alias("exact_of")))
 
     # near tier: shared shingle pass + banded buckets over the union
+    # (hashed shingle keys, r6 — see word_shingle_hashes)
     rows_per_band = num_perm // bands
-    sh = persist_tracked(word_shingles(tagged, n, text_col, id_col))
+    sh = persist_tracked(word_shingle_hashes(tagged, n, text_col, id_col))
     sig = minhash_signatures(tagged, n, num_perm, text_col, id_col,
-                             shingles=sh)
+                             shingle_hashes=sh)
     band_cols = []
     for bnd in range(bands):
         parts = [F.col(f"mh{bnd * rows_per_band + r}")
@@ -326,9 +372,9 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
 
     # exact-Jaccard verify on candidates only (same as the self-join tier)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col(id_col).alias("a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (cand.join(sa, "a").join(sb, ["b", "shingle"])
+    sa = sh.select(F.col(id_col).alias("a"), "h")
+    sb = sh.select(F.col(id_col).alias("b"), "h")
+    inter = (cand.join(sa, "a").join(sb, ["b", "h"])
              .groupBy("a", "b").agg(F.count("*").alias("inter")))
     near = (inter
             .join(sizes.select(F.col(id_col).alias("a"),
@@ -376,9 +422,9 @@ def dedup_index_write(corpus: DataFrame, path: str,
     import os
 
     rows_per_band = num_perm // bands
-    sh = persist_tracked(word_shingles(corpus, n, text_col, id_col))
+    sh = persist_tracked(word_shingle_hashes(corpus, n, text_col, id_col))
     sig = minhash_signatures(corpus, n, num_perm, text_col, id_col,
-                             shingles=sh)
+                             shingle_hashes=sh)
     band_cols = []
     for bnd in range(bands):
         parts = [F.col(f"mh{bnd * rows_per_band + r}")
@@ -423,9 +469,9 @@ def dedup_index_append(accepted: DataFrame, path: str, batch_id: int,
             f"index at {path} was built with {meta}, appended with "
             f"n={n}, num_perm={num_perm}, bands={bands} — rebuild or match")
     rows_per_band = num_perm // bands
-    sh = persist_tracked(word_shingles(accepted, n, text_col, id_col))
+    sh = persist_tracked(word_shingle_hashes(accepted, n, text_col, id_col))
     sig = minhash_signatures(accepted, n, num_perm, text_col, id_col,
-                             shingles=sh)
+                             shingle_hashes=sh)
     band_cols = []
     for bnd in range(bands):
         parts = [F.col(f"mh{bnd * rows_per_band + r}")
@@ -492,9 +538,9 @@ def dedup_incremental_indexed(spark, path: str, new_docs: DataFrame,
 
     # batch-side shingles/signature/buckets (the ONLY text scanned)
     rows_per_band = num_perm // bands
-    sh_new = persist_tracked(word_shingles(new_docs, n, text_col, id_col))
+    sh_new = persist_tracked(word_shingle_hashes(new_docs, n, text_col, id_col))
     sig = minhash_signatures(new_docs, n, num_perm, text_col, id_col,
-                             shingles=sh_new)
+                             shingle_hashes=sh_new)
     band_cols = []
     for bnd in range(bands):
         parts = [F.col(f"mh{bnd * rows_per_band + r}")
@@ -526,9 +572,9 @@ def dedup_incremental_indexed(spark, path: str, new_docs: DataFrame,
     all_sh = cor_shingles.unionByName(sh_new)
     sizes = (cor_sizes.unionByName(
         sh_new.groupBy(id_col).agg(F.count("*").alias("sz"))))
-    sa = all_sh.select(F.col(id_col).alias("a"), "shingle")
-    sb = sh_new.select(F.col(id_col).alias("b"), "shingle")
-    inter = (cand.join(sa, "a").join(sb, ["b", "shingle"])
+    sa = all_sh.select(F.col(id_col).alias("a"), "h")
+    sb = sh_new.select(F.col(id_col).alias("b"), "h")
+    inter = (cand.join(sa, "a").join(sb, ["b", "h"])
              .groupBy("a", "b").agg(F.count("*").alias("inter")))
     near = (inter
             .join(sizes.select(F.col(id_col).alias("a"),

@@ -148,3 +148,26 @@ def test_portable_hash_spark_side_adversarial(spark):
         ref = int(hashlib.md5(r.s.encode("utf-8")).hexdigest()[:15], 16)
         assert r.h == ref, repr(r.s)
         assert r.m == (ref * a + b) % MINHASH_PRIME, repr(r.s)
+
+
+def test_minhash_perm_int64_equals_decimal(spark):
+    """r6: the int64 Mersenne-split minhash_perm must equal the DECIMAL(38,0)
+    reference on every permutation over boundary + random 60-bit inputs (the
+    permutation feeds every MinHash signature and band key — a single
+    divergent value would silently re-bucket the dedup tiers)."""
+    import random
+    from pyspark.sql import functions as F
+    from quadtree_block_compression_spark.functions.portable_hash import (
+        MINHASH_PRIME, minhash_perm, minhash_perm_decimal)
+    rng = random.Random(7)
+    vals = [0, 1, 2, (1 << 60) - 1, (1 << 60) - 2, MINHASH_PRIME % (1 << 60),
+            (1 << 30) - 1, 1 << 30, (1 << 31) - 1, 1 << 31]
+    vals += [rng.getrandbits(60) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "h long")
+    checks = []
+    for i in range(16):
+        checks.append(F.sum((minhash_perm(F.col("h"), i)
+                             != minhash_perm_decimal(F.col("h"), i))
+                            .cast("int")).alias(f"bad{i}"))
+    row = df.agg(*checks).collect()[0]
+    assert all(v == 0 for v in row), row.asDict()
