@@ -947,11 +947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         that upsamples high-quality text. One scan, zero joins, a pushable
         integer hash predicate; the weight is the rounded quality score
         both engines already hash-agree on (corpus_clean)."""
+        from quadtree_block_compression_spark.functions.parallelism import spread
         from quadtree_block_compression_spark.operators.text_analysis import (
             _quality_score_expr)
         (docs,) = _tables(spark, sf, "documents")
-        q = docs.select("doc_id",
-                        F.round(_quality_score_expr("text"), 6).alias("quality"))
+        # spread: the regex-heavy quality projection would otherwise run on
+        # the documents scan's 3 splits (r6)
+        q = spread(docs).select("doc_id",
+                                F.round(_quality_score_expr("text"), 6).alias("quality"))
         out = sampling.weighted_hash_sample(q, "quality", base_rate=0.5,
                                             salt="wq", max_weight=2.0)
         return out.select("doc_id", "quality")
@@ -1808,7 +1811,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lineage_summary(partition_lineage(blocks, "tile_assign")).select(
             "stage", "rows_total")
 
+    # Dict ORDER is deliberate (VERDICT r5 #1): the driver's correctness
+    # gate samples the FIRST 50 entries, so the queries with the least
+    # driver evidence lead — first the 12 never driver-graded (r5-new),
+    # then the entries last graded in r3/r4, then the r5-graded block
+    # (all 50 of which are green in CORRECTNESS_r05.json) rotated to the
+    # tail to re-enter the sample in later rounds. Same 80 queries, same
+    # oracle SQL — rotation changes evidence coverage, not computation.
     out = {
+        # --- never driver-graded (r5-new) ---
+        "blocks_pip_join": blocks_pip_join,
+        "compact_cover_rects": compact_cover_rects,
+        "rect_overlap_join": rect_overlap_join,
+        "knn_corpus": knn_corpus,
+        "image_dedup_clusters": image_dedup_clusters,
+        "image_caption_dedup": image_caption_dedup,
+        "multimodal_dedup_clusters": multimodal_dedup_clusters_q,
+        "versioned_read": versioned_read,
+        "versioned_incremental": versioned_incremental,
+        "versioned_merge": versioned_merge,
+        "boilerplate_removal": boilerplate_removal,
+        "boilerplate_docs": boilerplate_docs,
+        # --- last driver-graded in r3/r4 ---
+        "spatial_distance_join": spatial_distance_join,
+        "events_asof_join": events_asof_join,
+        "knn_points": knn_points,
+        "quadtree_tile_assign": quadtree_tile_assign,
+        "quadtree_roundtrip": quadtree_roundtrip,
+        "block_dedup_exact": block_dedup_exact,
+        "block_near_dedup": block_near_dedup,
+        "block_dedup_clusters": block_dedup_clusters,
+        "image_features": image_features,
+        "interpolator_matrix": interpolator_matrix,
+        "archive_roundtrip": archive_roundtrip,
+        "block_size_extremes": block_size_extremes,
+        "tile_pyramid_rollup": tile_pyramid_rollup,
+        "image_near_dup_phash": image_near_dup_phash,
+        "audio_features": audio_features,
+        "video_frame_stats": video_frame_stats,
+        "tile_range_query": tile_range_query,
+        "lineage_rollup": lineage_rollup,
+        # --- driver-graded green in r5 (rotated to the tail) ---
         "q1_pricing_summary": q1_pricing_summary,
         "q3_revenue_by_order": q3_revenue_by_order,
         "q10_returned_revenue": q10_returned_revenue,
@@ -1859,36 +1902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_triangles": spatial_join_triangles,
         "rasterize_rects": rasterize_rects,
         "zonal_stats_rects": zonal_stats_rects,
-        "blocks_pip_join": blocks_pip_join,
-        "compact_cover_rects": compact_cover_rects,
-        "rect_overlap_join": rect_overlap_join,
-        "spatial_distance_join": spatial_distance_join,
-        "events_asof_join": events_asof_join,
-        "knn_points": knn_points,
-        "knn_corpus": knn_corpus,
-        "quadtree_tile_assign": quadtree_tile_assign,
-        "quadtree_roundtrip": quadtree_roundtrip,
-        "block_dedup_exact": block_dedup_exact,
-        "block_near_dedup": block_near_dedup,
-        "block_dedup_clusters": block_dedup_clusters,
-        "image_features": image_features,
-        "interpolator_matrix": interpolator_matrix,
-        "archive_roundtrip": archive_roundtrip,
-        "block_size_extremes": block_size_extremes,
-        "tile_pyramid_rollup": tile_pyramid_rollup,
-        "image_near_dup_phash": image_near_dup_phash,
-        "image_dedup_clusters": image_dedup_clusters,
-        "image_caption_dedup": image_caption_dedup,
-        "multimodal_dedup_clusters": multimodal_dedup_clusters_q,
-        "versioned_read": versioned_read,
-        "versioned_incremental": versioned_incremental,
-        "versioned_merge": versioned_merge,
-        "boilerplate_removal": boilerplate_removal,
-        "boilerplate_docs": boilerplate_docs,
-        "audio_features": audio_features,
-        "video_frame_stats": video_frame_stats,
-        "tile_range_query": tile_range_query,
-        "lineage_rollup": lineage_rollup,
     }
     # Release the previous query's tracked caches at each query boundary: a
     # long-lived driver session running the whole suite would otherwise pin
