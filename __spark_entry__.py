@@ -947,14 +947,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         that upsamples high-quality text. One scan, zero joins, a pushable
         integer hash predicate; the weight is the rounded quality score
         both engines already hash-agree on (corpus_clean)."""
-        from quadtree_block_compression_spark.functions.parallelism import spread
         from quadtree_block_compression_spark.operators.text_analysis import (
             _quality_score_expr)
         (docs,) = _tables(spark, sf, "documents")
-        # spread: the regex-heavy quality projection would otherwise run on
-        # the documents scan's 3 splits (r6)
-        q = spread(docs).select("doc_id",
-                                F.round(_quality_score_expr("text"), 6).alias("quality"))
+        # deliberately NOT spread (r6): the plan-audit pins this query as
+        # exchange-free — the zero-shuffle composability property outweighs
+        # the ~0.8s the 3-split scan costs at bench scale (at 100 TB the
+        # scan has thousands of splits and the point is moot)
+        q = docs.select("doc_id",
+                        F.round(_quality_score_expr("text"), 6).alias("quality"))
         out = sampling.weighted_hash_sample(q, "quality", base_rate=0.5,
                                             salt="wq", max_weight=2.0)
         return out.select("doc_id", "quality")

