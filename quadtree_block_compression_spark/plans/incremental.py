@@ -44,11 +44,28 @@ def ingest_images_incremental(spark: SparkSession, images_path: str,
     if not src_versions:
         raise FileNotFoundError(f"no published snapshots at {images_path}")
     latest = src_versions[-1]
+    # resume point = MAX source_snapshot across ALL blocks snapshots'
+    # properties, not just the latest's (ADVICE r5): a blocks-table commit
+    # that doesn't carry the property forward (compact_versioned,
+    # rollback_versioned, a manual append) would otherwise read as done=0
+    # and the next ingest would re-tile and APPEND the whole corpus as
+    # silent duplicates. O(#snapshots) manifest reads — metadata-cheap.
     done = 0
-    if table_versions(blocks_path):
-        done = int(snapshot_properties(blocks_path).get("source_snapshot", 0))
+    for v in table_versions(blocks_path):
+        done = max(done, int(snapshot_properties(blocks_path, v)
+                             .get("source_snapshot", 0)))
     if done >= latest:
         return None
+    if done != 0 and done not in src_versions:
+        # the consumed source snapshot was expired (expire_snapshots on the
+        # images table) — a manifest-level diff from it is impossible, and
+        # silently reprocessing the full corpus would append duplicates
+        raise RuntimeError(
+            f"resume snapshot {done} of {images_path} has been expired "
+            f"(surviving: {src_versions}) — incremental ingest cannot diff "
+            "from it. Recover explicitly: rebuild the blocks table with a "
+            "full-snapshot overwrite ingest, or keep >= the consumed "
+            "snapshot when expiring the images table")
     delta = versioned_diff(spark, images_path, done, latest)
     blocks = assign_tiles(delta, cfg, on_error=on_error)
     return write_versioned(blocks, blocks_path, mode="append",

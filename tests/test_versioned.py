@@ -504,3 +504,46 @@ def test_manifest_committer_seam(spark, tmp_path):
         T.set_manifest_committer(None)
     # default committer restored: normal commits work again
     assert write_versioned(_df(spark, [4]), path, mode="append") == 3
+
+
+def test_ingest_resume_survives_compaction_and_expire_raises(
+        spark, tiny_images, tmp_path):
+    """r6 (ADVICE r5): (1) resume state is the MAX source_snapshot across
+    ALL blocks snapshots — a compact_versioned commit (which doesn't carry
+    properties forward) must not reset it to 0 and silently re-append the
+    whole corpus; (2) when the consumed images snapshot has been expired,
+    ingest raises an explicit error naming the interaction instead of
+    failing deep inside versioned_diff (or duplicating rows)."""
+    from quadtree_block_compression_spark.plans.incremental import (
+        ingest_images_incremental)
+    from quadtree_block_compression_spark.sources.tables import (
+        compact_versioned, expire_snapshots)
+
+    imgs = str(tmp_path / "images_tbl")
+    blks = str(tmp_path / "blocks_tbl")
+    first = tiny_images.where("image_id < 'img_00005'")
+    rest = tiny_images.where("image_id >= 'img_00005'")
+    write_versioned(first, imgs)
+    assert ingest_images_incremental(spark, imgs, blks) == 1
+    n_blocks = read_versioned(spark, blks).count()
+
+    # a compaction commit has no source_snapshot property; pre-fix the next
+    # ingest read done=0 and re-tiled everything as duplicates
+    compact_versioned(spark, blks, target_files=2)
+    assert ingest_images_incremental(spark, imgs, blks) is None  # caught up
+    assert read_versioned(spark, blks).count() == n_blocks  # no duplicates
+
+    # new images arrive; ingest still resumes from snapshot 1, not 0
+    write_versioned(rest, imgs, mode="append")
+    assert ingest_images_incremental(spark, imgs, blks) is not None
+    key = ["image_id", "tile_id", "block_hash"]
+    assert read_versioned(spark, blks).select(*key).distinct().count() \
+        == read_versioned(spark, blks).select(*key).count()
+
+    # expire the consumed snapshot out from under the resume pointer:
+    # ingest must fail with the explicit expire-interaction error
+    write_versioned(tiny_images.limit(2), imgs, mode="append")  # v3
+    write_versioned(tiny_images.limit(1), imgs, mode="append")  # v4
+    expire_snapshots(imgs, keep_last=1)  # drops v1..v3 incl. consumed v2
+    with pytest.raises(RuntimeError, match="expired"):
+        ingest_images_incremental(spark, imgs, blks)
