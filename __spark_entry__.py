@@ -717,24 +717,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _gate_table_dir(name: str) -> str:
-    """Scratch dir for the versioned-table gate queries: one REUSED
-    thread-scoped path, wiped at build start, instead of a fresh mkdtemp
-    per invocation — repeated gate/audit runs previously accumulated
-    unbounded parquet garbage under /tmp. Thread-scoped because the driver
-    may build queries concurrently; within a thread the previous build's
-    result has already been consumed when the next build wipes the dir."""
+    """Scratch dir for the versioned-table gate queries: a per-BUILD unique
+    dir plus age-based reclaim of stale siblings (ADVICE r5: the previous
+    wipe-on-reuse keyed by (pid, thread ident) could wipe parquet still
+    referenced by a prior thread's undrained lazy DataFrame once CPython
+    recycled the ident). A gate table lives for one query build+collect —
+    minutes — so reclaiming siblings older than an hour can never touch a
+    live one, and repeated gate/audit runs still don't accumulate
+    unbounded parquet garbage under /tmp."""
     import shutil
     import tempfile
-    import threading
-    # pid + thread ident: thread idents alone collide ACROSS processes
-    # (the main thread's pthread address is often identical), and a
-    # concurrent gate run wiping another process's live table would break
-    # its pending lazy read
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"{name}_{os.getpid()}_{threading.get_ident()}")
-    shutil.rmtree(path, ignore_errors=True)
-    return path
+    import time
+    import uuid
+    root = os.path.join(tempfile.gettempdir(), "qbcs_gate_tables")
+    os.makedirs(root, exist_ok=True)
+    cutoff = time.time() - 3600.0
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        try:
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # a sibling raced its own reclaim — nothing to free
+    return os.path.join(root, f"{name}_{os.getpid()}_{uuid.uuid4().hex[:8]}")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -71,9 +71,15 @@ def mixture_sample(df: DataFrame, targets: dict[str, int],
         raise ValueError("targets must be non-empty positive integer weights")
     spark = df.sparkSession
     total_w = int(sum(targets.values()))
+    # weights schema mirrors the DATA's strata type (ADVICE r5): a
+    # hardcoded STRING column broke (or ANSI-miscast) non-string strata
+    # such as integer bucket ids
+    from pyspark.sql.types import LongType, StructField, StructType
+    strata_type = df.schema[strata_col].dataType
     weights = spark.createDataFrame(
         [(s, int(w)) for s, w in sorted(targets.items())],
-        f"{strata_col} string, w_s long")
+        StructType([StructField(strata_col, strata_type, False),
+                    StructField("w_s", LongType(), False)]))
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_s"))
     caps = (weights.join(counts, strata_col, "left")
             .withColumn("n_s", F.coalesce("n_s", F.lit(0)))

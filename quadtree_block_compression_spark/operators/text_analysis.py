@@ -52,9 +52,13 @@ def _quality_feature_exprs(text_col: str = "text", words=None) -> dict:
     if words is None:
         words = _words_expr(text_col)
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
-    punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?'\"]", ""))
-    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    # regexp_count of the char class == length of the complement-replace
+    # result (single-char matches), WITHOUT building a replaced copy of
+    # every document — measured 6× on this projection at sf1 (r6);
+    # equivalence pytest-pinned in test_ops_spark
+    punct = F.regexp_count(t, F.lit(r"[\.,;:!\?'\"]"))
+    digits = F.regexp_count(t, F.lit(r"[0-9]"))
+    upper = F.regexp_count(t, F.lit(r"[A-Z]"))
     return {
         "n_chars_calc": n_chars,
         "n_tokens": toks,

@@ -265,16 +265,25 @@ def _cluster_zorder(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
     # sampling, the write itself) — persist once or an expensive upstream
     # plan executes three times per commit
     df = persist_tracked(df)
-    lims = df.agg(*[F.min(c).alias(f"mn_{c}") for c in cols],
-                  *[F.max(c).alias(f"mx_{c}") for c in cols]).collect()[0]
+    # nanvl on the min/max inputs: Spark orders NaN above every double, so
+    # a single NaN row would otherwise surface as mx=NaN and poison the
+    # span for EVERY row (ADVICE r5)
+    lims = df.agg(*[F.min(F.nanvl(F.col(c).cast("double"), F.lit(None).cast("double")))
+                    .alias(f"mn_{c}") for c in cols],
+                  *[F.max(F.nanvl(F.col(c).cast("double"), F.lit(None).cast("double")))
+                    .alias(f"mx_{c}") for c in cols]).collect()[0]
     scaled = []
     top = (1 << _ZBITS) - 1
     for c in cols:
         mn, mx = lims[f"mn_{c}"], lims[f"mx_{c}"]
         span = float(mx - mn) if mx is not None and mx > mn else 1.0
-        s = F.coalesce(
-            ((F.col(c).cast("double") - float(mn if mn is not None else 0))
-             / span * top).cast("long"), F.lit(0))
+        # nanvl before the ANSI double→long cast: a NaN cluster value takes
+        # the same key-0 origin path as NULL (documented missing-value
+        # semantics) instead of failing the whole commit (ADVICE r5)
+        raw = ((F.nanvl(F.col(c).cast("double"), F.lit(None).cast("double"))
+                - float(mn if mn is not None else 0))
+               / span * top)
+        s = F.coalesce(raw.cast("long"), F.lit(0))
         scaled.append(F.greatest(F.lit(0), F.least(F.lit(top), s)))
     z = F.lit(0).cast("long")
     for b in range(_ZBITS):

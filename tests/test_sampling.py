@@ -238,3 +238,20 @@ def test_leakage_safe_split_thresholds_round_not_truncate(spark):
     want = {g: ("train" if h(g) < 700_000 else
                 "val" if h(g) < 850_000 else "test") for g in groups}
     assert got == want
+
+
+def test_mixture_sample_integer_strata(spark):
+    """r6 (ADVICE r5): mixture_sample must accept a non-string strata
+    column (e.g. int bucket ids) — the weights frame's schema mirrors the
+    data's strata type instead of hardcoding STRING."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from quadtree_block_compression_spark.operators.sampling import (
+        mixture_sample)
+    pdf = pd.DataFrame({"doc_id": range(60), "stratum": [i % 3 for i in range(60)]})
+    df = spark.createDataFrame(pdf)
+    out = mixture_sample(df, targets={0: 1, 1: 2}, strata_col="stratum")
+    counts = {r.stratum: r.n for r in
+              out.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    # W=3, n_s=20 each: T = min(20*3/1, 20*3/2) = 30; t_0 = 10, t_1 = 20
+    assert counts == {0: 10, 1: 20}

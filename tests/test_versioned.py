@@ -547,3 +547,23 @@ def test_ingest_resume_survives_compaction_and_expire_raises(
     expire_snapshots(imgs, keep_last=1)  # drops v1..v3 incl. consumed v2
     with pytest.raises(RuntimeError, match="expired"):
         ingest_images_incremental(spark, imgs, blks)
+
+
+def test_zorder_nan_clusters_at_origin(spark, tmp_path):
+    """r6 (ADVICE r5): a NaN cluster value follows the NULL path (key 0 —
+    origin) instead of throwing on the ANSI double->long cast and failing
+    the commit, and a single NaN row must not poison the min/max span for
+    every other row."""
+    import math
+    path = str(tmp_path / "tbl")
+    # tuples + explicit schema: pandas would silently turn NaN into NULL,
+    # which never exercised the NaN path at all
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 100.0, 100.0),
+         (3, float("nan"), 25.0), (4, 50.0, float("nan"))],
+        "k int, x double, y double")
+    assert write_versioned(df, path, cluster_by=["x", "y"],
+                           cluster_files=2) == 1
+    got = {r.k: (r.x, r.y) for r in read_versioned(spark, path).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert math.isnan(got[3][0]) and math.isnan(got[4][1])
