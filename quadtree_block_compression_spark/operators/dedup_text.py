@@ -132,9 +132,35 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "h")
     b = sh.select(F.col(id_col).alias("b"), "h")
-    inter = (a.join(b, "h")
-             .where(F.col("a") < F.col("b"))
-             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    joined = a.join(b, "h").where(F.col("a") < F.col("b"))
+    # r6 (guide §2.3 "narrower types"): the pair aggregate keys ~Σ df²/2
+    # rows — by far this operator's widest exchange and both its partial
+    # and final hash-agg key. When the id span provably fits 31 bits
+    # (one min/max scalar probe of the id column — O(one column scan),
+    # nothing next to the self-join), pack (id_a - lo, id_b - lo) into ONE
+    # long: measured 15.1 → 12.1 s warm on the 98 M-row join at sf1, and
+    # spill/shuffle bytes shrink with the 24 → 16 B rows. The unpacked
+    # branch is the general path (non-integral ids, > 31-bit spans); both
+    # branches produce identical rows, pinned by the DuckDB oracle and a
+    # pytest that forces the wide-span fallback.
+    packable = False
+    if docs.schema[id_col].dataType.simpleString() in (
+            "int", "bigint", "smallint", "tinyint"):
+        lo_hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+        packable = (lo_hi[0] is not None
+                    and int(lo_hi[1]) - int(lo_hi[0]) < (1 << 31))
+    if packable:
+        lo = int(lo_hi[0])
+        p = (F.shiftleft(F.col("a") - F.lit(lo), 32)
+             + (F.col("b") - F.lit(lo)))
+        inter = (joined.select(p.alias("_p"))
+                 .groupBy("_p").agg(F.count("*").alias("inter"))
+                 .select((F.shiftright(F.col("_p"), 32) + F.lit(lo)).alias("a"),
+                         (F.col("_p").bitwiseAND(F.lit((1 << 32) - 1))
+                          + F.lit(lo)).alias("b"),
+                         "inter"))
+    else:
+        inter = joined.groupBy("a", "b").agg(F.count("*").alias("inter"))
     out = (inter
            .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
            .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")

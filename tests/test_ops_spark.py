@@ -45,6 +45,21 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert (0, 5) not in pairs
 
 
+def test_ngram_jaccard_wide_id_span_fallback(docs, spark):
+    """The packed-pair-key aggregate (r6) only fires when the id span fits
+    31 bits; ids spread past that must take the two-column fallback and
+    produce the identical pair set."""
+    from pyspark.sql import functions as F
+    from quadtree_block_compression_spark.operators.dedup_text import ngram_jaccard_pairs
+    K = 1 << 33
+    wide = docs.withColumn("doc_id", F.col("doc_id") * K)
+    base = {(r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    spread_out = {(r.doc_a // K, r.doc_b // K): r.jaccard
+                  for r in ngram_jaccard_pairs(wide, n=3, threshold=0.3).collect()}
+    assert base == spread_out and base
+
+
 def test_ngram_jaccard_max_df_cap(docs):
     from quadtree_block_compression_spark.operators.dedup_text import ngram_jaccard_pairs
     # cap at df<=1 drops every shared shingle → no pairs at all
