@@ -99,9 +99,18 @@ def word_shingle_hashes(docs: DataFrame, n: int, text_col: str = "text",
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
     ).otherwise(F.array().cast("array<string>"))
+    # r6 (guide §2.4 "share one exchange"): hash-partition by the DOC id
+    # before the distinct. HashPartitioning(id) satisfies the distinct's
+    # ClusteredDistribution(id, h) (subset rule), so no second exchange is
+    # added — and every downstream per-doc consumer (minhash signature
+    # groupBy, set-size groupBy, the LSH verify joins on the id) then reuses
+    # this one exchange instead of re-shuffling the table: the signature
+    # aggregate alone previously exchanged ~86 MB of barely-reduced partial
+    # rows at sf1 (partial min per doc per source partition), twice.
     return (base.select(F.col(id_col), F.explode(sh).alias("shingle"))
             .where(F.length("shingle") > 0)
             .select(F.col(id_col), portable_hash64(F.col("shingle")).alias("h"))
+            .repartition(F.col(id_col))
             .distinct())
 
 
