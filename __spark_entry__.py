@@ -83,7 +83,13 @@ def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(cell_encode(wx.to_numpy(dtype=float),
                                      wy.to_numpy(dtype=float), _RES))
 
-    return pts.withColumn("cell", cell_of("wx", "wy"))
+    # asNondeterministic (guide §4.4, r6): the optimizer pushes a
+    # deterministic Python projection below the spread() repartition, so
+    # the ArrowEvalPython ran on the customer scan's 2 raw splits (the
+    # committed before-plan shows ArrowEvalPython directly over the scan,
+    # under the Exchange). cell_of IS value-deterministic — the marker only
+    # forbids the reorder, keeping the UDF above the exchange on all cores.
+    return pts.withColumn("cell", cell_of.asNondeterministic()("wx", "wy"))
 
 
 def _nation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -128,10 +128,15 @@ def _yaml_scalar(tok: str):
     booleans in Go-yaml's accepted spellings, ints, floats, bare strings."""
     if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
         return tok[1:-1]
-    low = tok.lower()
-    if low in ("true", "yes", "on"):
+    # exact YAML-1.1 bool spellings (PyYAML's resolver set): a blanket
+    # .lower() also coerced mixed-case tokens like "oN"/"yEs" that YAML
+    # treats as plain strings (caught by the property test vs safe_load)
+    # (single-letter y/n are YAML-1.1-spec bools but PyYAML excludes them,
+    # and the property test pins PyYAML's behavior)
+    if tok in ("true", "True", "TRUE", "yes", "Yes", "YES", "on", "On", "ON"):
         return True
-    if low in ("false", "no", "off"):
+    if tok in ("false", "False", "FALSE", "no", "No", "NO", "off", "Off",
+               "OFF"):
         return False
     for cast in (int, float):
         try:

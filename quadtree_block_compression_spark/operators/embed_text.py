@@ -52,11 +52,17 @@ def hashed_embedding(docs: DataFrame, dim: int = 64,
                           F.collect_list(F.struct("d", "v"))).alias("m"),
                       F.greatest(F.sqrt(F.sum(F.col("v") * F.col("v"))),
                                  F.lit(1e-12)).alias("_nrm")))
-    # dense vector from the sparse (dim → sum) map; key type matches pmod's
-    raw = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                      lambda i: F.coalesce(F.col("m")[i.cast("long")],
-                                           F.lit(0.0)))
-    emb = F.transform(raw, lambda x: F.round(x / F.col("_nrm"), 6))
+    # dense vector from the sparse (dim → sum) map; key type matches pmod's.
+    # ONE fused transform (r6): HOF lambdas run interpreted, so chaining a
+    # second transform over the first's output doubled the per-element
+    # interpreter walk — fusing lookup+normalize+round into a single lambda
+    # measured 6.5 → 3.0 s cold / 2.9 → 2.8 s warm at sf1 (noop sink),
+    # hash-identical output. The captured refs (m, _nrm) are plain column
+    # reads — cheap per the r5 HOF-capture invariant.
+    emb = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                      lambda i: F.round(
+                          F.coalesce(F.col("m")[i.cast("long")], F.lit(0.0))
+                          / F.col("_nrm"), 6))
     out = assembled.select(F.col(id_col), emb.alias("embedding"))
     # blank/whitespace-only docs produced no tokens: re-enter as zero vectors
     zeros = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),

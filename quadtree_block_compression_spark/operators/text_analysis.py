@@ -41,6 +41,23 @@ def _words_expr(text_col: str = "text"):
     return F.split(F.lower(F.col(text_col)), r"\s+")
 
 
+def _stop_count_expr(text_col: str, words_list):
+    """Occurrences of any ``words_list`` entry as a whole whitespace token,
+    via ONE ``regexp_count`` over the lowercased text (r6). Equivalent to
+    ``size(filter(split(lower(text), '\\s+'), w -> w ∈ set))``: a token is
+    a maximal ``\\S+`` run, and the zero-width guards ``(?<!\\S)…(?!\\S)``
+    match exactly the whole-token occurrences — but without the
+    interpreted per-element HOF filter + linear ``array_contains`` scan,
+    which paid a large codegen-fallback warmup every first execution of
+    the stage shape (annotate cold 10.5 → 2.3 s at sf1, warm equal,
+    hash-identical; equivalence also pytest-pinned)."""
+    import re as _re
+    alts = "|".join(_re.escape(w) for w in
+                    sorted(words_list, key=len, reverse=True))
+    return F.regexp_count(F.lower(F.col(text_col)),
+                          F.lit(f"(?<!\\S)(?:{alts})(?!\\S)"))
+
+
 def _quality_feature_exprs(text_col: str = "text", words=None) -> dict:
     """Named quality-feature column expressions (shared by
     :func:`quality_features`, :func:`quality_score`, :func:`annotate`).
@@ -48,10 +65,7 @@ def _quality_feature_exprs(text_col: str = "text", words=None) -> dict:
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = token_count(text_col)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
-    if words is None:
-        words = _words_expr(text_col)
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    n_stop = _stop_count_expr(text_col, STOPWORDS["en"])
     # regexp_count of the char class == length of the complement-replace
     # result (single-char matches), WITHOUT building a replaced copy of
     # every document — measured 6× on this projection at sf1 (r6);
@@ -89,8 +103,7 @@ def _lang_exprs(text_col: str = "text", words=None):
     n = F.greatest(F.size(words), F.lit(1))
     scores = []
     for lang in sorted(STOPWORDS):
-        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-        score = F.size(F.filter(words, lambda w: F.array_contains(arr, w))) / n
+        score = _stop_count_expr(text_col, STOPWORDS[lang]) / n
         scores.append(F.struct(F.round(score, 6).alias("score"), F.lit(lang).alias("lang")))
     # sort (negated score, lang) ascending → best score, smallest lang first
     best = F.sort_array(F.array(*[F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang"),
@@ -130,7 +143,10 @@ def quality_score(docs: DataFrame, text_col: str = "text",
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language ID (see :func:`_lang_exprs`)."""
-    base = docs.select(F.col(id_col), _words_expr(text_col).alias("_words"))
+    # keep text in scope: the r6 regexp-count lang votes read the text
+    # column directly (the hoisted _words array only feeds the token count)
+    base = docs.select(F.col(id_col), F.col(text_col),
+                       _words_expr(text_col).alias("_words"))
     lang_pred, lang_score = _lang_exprs(text_col, words=F.col("_words"))
     return base.select(F.col(id_col), lang_pred.alias("lang_pred"),
                        lang_score.alias("lang_score"))

@@ -38,6 +38,15 @@ def build_session(app: str = "quadtree-engine", cores: int | None = None,
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         # r6: the engine's post-shuffle stages are CPU-dense per byte
+         # (md5/regexp/HOF projections over skinny long/string rows), so
+         # AQE's default 1 MB coalescing floor folded 32-partition
+         # exchanges of a few MB down to ~10 tasks and idled 2/3 of the
+         # cores exactly in the hottest stages. A 256 KB floor keeps such
+         # stages wide; at cluster scale post-shuffle partitions are far
+         # above either floor, so this only moves byte-small CPU-heavy
+         # stages (and remains a plain conf for deployments to override).
+         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
          .config("spark.sql.parquet.compression.codec", "zstd")

