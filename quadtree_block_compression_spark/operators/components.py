@@ -92,7 +92,14 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                                           F.col(b_col).alias("b")))
     a = pairs2.select(F.col("a").alias("x"), F.col("b").alias("y"))
     b = pairs2.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    edges = (a.unionByName(b).distinct()
+    # no distinct on the edge list (r6): every tier is label-min/union-find
+    # arithmetic, for which duplicate edges are harmless — the distinct was
+    # one more exchange + aggregate, and under AQE one more sequential
+    # stage-materialization job inside the eager checkpoint of a usually
+    # tiny frame (the components queries are job-latency-bound: ~25
+    # sub-second jobs each at sf1). The driver-tier gate now counts
+    # pre-dedup rows, which only makes the cap more conservative.
+    edges = (a.unionByName(b)
              .join(node_ids, "x", "left_semi")
              .join(node_ids.withColumnRenamed("x", "y"), "y", "left_semi")
              .localCheckpoint(eager=True))

@@ -40,7 +40,7 @@ def main(sf_dir, queries):
         release_caches()
     spark.stop()
     log = glob.glob(f"/tmp/spark-events/eventlog_v2_{app_id}/events_*")[0]
-    stage_group, stages = {}, {}
+    stage_group, stages, jobs = {}, {}, {}
     for line in open(log):
         try:
             ev = json.loads(line)
@@ -49,8 +49,13 @@ def main(sf_dir, queries):
         e = ev.get("Event")
         if e == "SparkListenerJobStart":
             grp = ev.get("Properties", {}).get("spark.jobGroup.id")
+            jobs.setdefault(ev["Job ID"], {})["grp"] = grp
+            jobs[ev["Job ID"]]["t0"] = ev.get("Submission Time", 0)
+            jobs[ev["Job ID"]]["stages"] = ev.get("Stage IDs", [])
             for sid in ev.get("Stage IDs", []):
                 stage_group[sid] = grp
+        elif e == "SparkListenerJobEnd":
+            jobs.setdefault(ev["Job ID"], {})["t1"] = ev.get("Completion Time", 0)
         elif e == "SparkListenerStageCompleted":
             si = ev["Stage Info"]
             acc = {a.get("Name"): int(a.get("Value", 0))
@@ -67,14 +72,20 @@ def main(sf_dir, queries):
                                   + acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0)) / 1e6, 1),
                 "rows_out": acc.get("internal.metrics.shuffle.write.recordsWritten", 0),
                 "spill_mb": round(acc.get("internal.metrics.diskBytesSpilled", 0) / 1e6, 1),
+                "gc_s": round(acc.get("internal.metrics.jvmGCTime", 0) / 1e3, 1),
             }
     for name in queries:
         print(f"\n=== {name}  wall={walls[name][0]}s rows={walls[name][1]}")
+        myjobs = [(jid, j) for jid, j in sorted(jobs.items()) if j.get("grp") == name]
+        for jid, j in myjobs:
+            dur = (j.get("t1", 0) - j.get("t0", 0)) / 1e3
+            if dur > 0.25:
+                print(f"  job{jid:4d} {dur:6.2f}s stages={j.get('stages')}")
         mine = [(sid, s) for sid, s in stages.items() if stage_group.get(sid) == name]
         for sid, s in sorted(mine, key=lambda x: -x[1]["task_ms"])[:12]:
             print(f"  s{sid:4d} wall={s['ms']:7.2f}s task={s['task_ms']/1e3:8.1f}s cpu={s['cpu_ms']/1e3:8.1f}s "
                   f"t={s['tasks']:3d} shW={s['sh_w_mb']:8.1f}MB shR={s['sh_r_mb']:8.1f}MB "
-                  f"rows={s['rows_out']:>11d} spill={s['spill_mb']}MB  {s['name']}")
+                  f"rows={s['rows_out']:>11d} spill={s['spill_mb']}MB gc={s['gc_s']}s  {s['name']}")
 
 
 if __name__ == "__main__":
