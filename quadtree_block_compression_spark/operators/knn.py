@@ -195,7 +195,13 @@ def knn_ring(points: DataFrame, queries: DataFrame,
     # near-empty regions remain), so the cross join touches
     # |pending| × |points|, not |queries| × |points|.
     w = Window.partitionBy("query_id").orderBy("distance", "image_id", "tile_id")
+    # ONE exchange for dedup + rank (r6, guide §2.4): hash-partitioning by
+    # query_id satisfies BOTH the dropDuplicates' ClusteredDistribution
+    # (query_id, image_id, tile_id) and the rank window's (query_id) —
+    # without it the candidate set (3M rows, ~65 MB at sf1) was exchanged
+    # twice, once per key set.
     ringed = (gathered.join(pending.select("query_id"), "query_id", "left_anti")
+              .repartition(F.col("query_id"))
               .dropDuplicates(["query_id", "image_id", "tile_id"])
               .withColumn("rank", F.row_number().over(w))
               .join(q.select("query_id", "k"), "query_id")
