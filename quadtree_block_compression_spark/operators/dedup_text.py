@@ -158,18 +158,32 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.25,
         lo_hi = docs.agg(F.min(id_col), F.max(id_col)).first()
         packable = (lo_hi[0] is not None
                     and int(lo_hi[1]) - int(lo_hi[0]) < (1 << 31))
+    # Wide explicit repartition on the aggregate key (r6, guide §2.5/§5):
+    # map-side partial aggregation achieves ~no reduction here (a pair's
+    # occurrences are scattered across shingle-hash partitions), so at the
+    # session partition count BOTH agg phases overflowed execution memory
+    # into sort-based fallback (761 + 898 MB spilled at sf1). Repartitioning
+    # the raw pair rows 8× wider ships the same bytes the pass-through
+    # partial agg shipped anyway, stacks partial+final after the exchange
+    # with per-task state small enough to stay hash-resident: 10.2-10.7 →
+    # 8.3-8.5 s warm at sf1. The factor scales with the configured
+    # parallelism, not a constant tuned to this host.
+    nparts = 8 * int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if packable:
         lo = int(lo_hi[0])
         p = (F.shiftleft(F.col("a") - F.lit(lo), 32)
              + (F.col("b") - F.lit(lo)))
         inter = (joined.select(p.alias("_p"))
+                 .repartition(nparts, F.col("_p"))
                  .groupBy("_p").agg(F.count("*").alias("inter"))
                  .select((F.shiftright(F.col("_p"), 32) + F.lit(lo)).alias("a"),
                          (F.col("_p").bitwiseAND(F.lit((1 << 32) - 1))
                           + F.lit(lo)).alias("b"),
                          "inter"))
     else:
-        inter = joined.groupBy("a", "b").agg(F.count("*").alias("inter"))
+        inter = (joined.select("a", "b")
+                 .repartition(nparts, F.col("a"), F.col("b"))
+                 .groupBy("a", "b").agg(F.count("*").alias("inter")))
     out = (inter
            .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
            .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
