@@ -31,9 +31,9 @@ Algorithms (two, same signature, ``algorithm=`` selects):
   for adversarial long-chain graphs (crawl rings, version chains) where
   propagation's O(diameter) shuffle count would be unbounded.
 - ``auto`` (default) — size-adaptive: an edge set within
-  ``driver_edge_cap`` (gated by a bounded ``limit(cap+1).count()`` over
-  the already-materialized edge frame) is solved driver-side with one
-  collect + union-find — at that size the iterative tiers' ~2 scheduled
+  ``driver_edge_cap`` (gated by one bounded ``limit(cap+1).collect()``
+  over the already-materialized edge frame, whose rows double as the
+  fetched edge list) is solved driver-side with union-find — at that size the iterative tiers' ~2 scheduled
   jobs per round are pure latency floor. Larger sets run propagation for
   up to ``max_iters`` rounds, then fall back to ``alternating`` from
   scratch instead of aborting: cheap on the common shallow graphs, still
@@ -108,10 +108,14 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
 
     labels = None
     if algorithm == "auto" and driver_edge_cap > 0:
-        # limit(cap+1).count() instead of count(): the gate never scans
-        # more than cap+1 rows of a huge edge set
-        if edges.limit(driver_edge_cap + 1).count() <= driver_edge_cap:
-            labels = _driver_labels(node_ids, edges)
+        # ONE job gates AND fetches (r6): collect limit(cap+1) rows — at
+        # most cap+1 ever cross to the driver (same bound the old
+        # limit+count gate enforced), and when the set fits, the rows are
+        # already here, saving the second edges.collect() job of the
+        # latency-bound small-graph path.
+        probe = edges.limit(driver_edge_cap + 1).collect()
+        if len(probe) <= driver_edge_cap:
+            labels = _driver_labels(node_ids, edges, rows=probe)
     if labels is None and algorithm in ("auto", "propagation"):
         labels = _propagate_labels(node_ids, edges, max_iters)
         if labels is None and algorithm == "propagation":
@@ -133,14 +137,16 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                     (F.col("x") == F.col("label")).alias("is_canonical")))
 
 
-def _driver_labels(node_ids: DataFrame, edges: DataFrame) -> DataFrame:
+def _driver_labels(node_ids: DataFrame, edges: DataFrame,
+                   rows=None) -> DataFrame:
     """Small-graph tier: union-find over a collected edge list. The caller
     gates the collect at ``driver_edge_cap`` rows (a few MB) — this is the
     contractually-bounded kind of driver work (like the kNN pending set),
     not a driver loop over table-scale data. One collect + one
     createDataFrame replaces ~2 jobs × diameter rounds of scheduling
     latency, which dominates the iterative tiers on small graphs."""
-    rows = edges.collect()  # ≤ driver_edge_cap rows by the caller's gate
+    if rows is None:
+        rows = edges.collect()  # ≤ driver_edge_cap rows by the caller's gate
     parent: dict = {}
 
     def find(v):

@@ -208,9 +208,9 @@ def test_auto_tier_selection(spark, monkeypatch):
     calls = []
     orig_driver, orig_prop = C._driver_labels, C._propagate_labels
     monkeypatch.setattr(C, "_driver_labels",
-                        lambda *a: calls.append("driver") or orig_driver(*a))
+                        lambda *a, **k: calls.append("driver") or orig_driver(*a, **k))
     monkeypatch.setattr(C, "_propagate_labels",
-                        lambda *a: calls.append("prop") or orig_prop(*a))
+                        lambda *a, **k: calls.append("prop") or orig_prop(*a, **k))
     ids = [1, 2, 3, 4, 9]
     edges = [(1, 2), (2, 3)]
     small = _run_alg(spark, ids, edges)  # default cap: driver tier
