@@ -200,9 +200,14 @@ def knn_ring(points: DataFrame, queries: DataFrame,
     # (query_id, image_id, tile_id) and the rank window's (query_id) —
     # without it the candidate set (3M rows, ~65 MB at sf1) was exchanged
     # twice, once per key set.
+    # no dropDuplicates (r6): a candidate (query, point) pair can only be
+    # emitted once — shells are DISJOINT by construction (_ring_cells
+    # explodes the np.setdiff1d disk difference, round 1 the np.unique'd
+    # full disk) and a point lives in exactly one cell, so the per-round
+    # unions never repeat a pair. The dedup was a full extra aggregate
+    # over the gathered set (~3 M rows at sf1); uniqueness is pytest-pinned.
     ringed = (gathered.join(pending.select("query_id"), "query_id", "left_anti")
               .repartition(F.col("query_id"))
-              .dropDuplicates(["query_id", "image_id", "tile_id"])
               .withColumn("rank", F.row_number().over(w))
               .join(q.select("query_id", "k"), "query_id")
               .filter(F.col("rank") <= F.col("k"))

@@ -139,6 +139,25 @@ def test_knn_ring_matches_bruteforce(points, spark):
     assert g == e
 
 
+def test_knn_ring_many_rounds_no_duplicate_candidates(points, spark):
+    """r6: the final election no longer dropDuplicates — shells are
+    disjoint by construction so a (query, point) pair is emitted at most
+    once. Force MANY rounds (initial_ring=1, 4× growth) and pin exact
+    equality with brute force: any re-emitted pair would produce a
+    duplicate ranked row and shift every rank after it."""
+    queries = spark.createDataFrame(generate_knn_queries(n=12, seed=11))
+    got = knn_ring(points, queries, res=6, max_ring=40, initial_ring=1)
+    expect = knn_bruteforce(points, queries)
+    g = {(r.query_id, r.rank): (r.image_id, r.tile_id) for r in got.collect()}
+    e = {(r.query_id, r.rank): (r.image_id, r.tile_id) for r in expect.collect()}
+    assert g == e
+    per_q = {}
+    for (qid, _), pt in g.items():
+        per_q.setdefault(qid, []).append(pt)
+    for qid, pts in per_q.items():
+        assert len(pts) == len(set(pts)), f"duplicate point for {qid}"
+
+
 def test_knn_shuffle_tier_matches_bruteforce_on_corpus_queries(points, spark):
     """VERDICT r4 #1: the shuffle tier supports |queries| ~ |points| ("kNN
     for every corpus item") with the query side kept distributed — pending
