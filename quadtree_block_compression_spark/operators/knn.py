@@ -113,6 +113,7 @@ def knn_ring(points: DataFrame, queries: DataFrame,
 
     pending = q
     gathered: DataFrame | None = None
+    results: list[DataFrame] = []  # per-round top-k of queries finished there
     # density-aware initial radius: expect k candidates within a disk of
     # radius √(k̄/(π·density)) cells, so most queries finish in ONE round —
     # each extra round is a full Spark job, the dominant cost at small k
@@ -160,14 +161,34 @@ def knn_ring(points: DataFrame, queries: DataFrame,
         # every later round was pure waste — round 2+ touches the small
         # unsatisfied tail instead of every query's candidates (r6).
         wq = Window.partitionBy("query_id").orderBy("distance", "image_id", "tile_id")
+        wp = Window.partitionBy("query_id")
         g_pend = gathered.join(
             (broadcast(pending) if use_broadcast else pending).select("query_id"),
             "query_id", "left_semi")
-        done = (g_pend.withColumn("_rn", F.row_number().over(wq))
-                .join(q.select("query_id", "k"), "query_id")
-                .filter((F.col("_rn") == F.col("k"))
-                        & (F.col("distance") < F.lit(float(ring) * cell_width)))
-                .select("query_id"))
+        # ONE ranking serves done-detection AND the finished queries' final
+        # answer (r6): a finished query's candidate set can never grow
+        # (later rings explode only still-pending queries), so its rn ≤ k
+        # rows AT FINISH TIME are exactly what the old post-loop election
+        # re-ranked from the whole gathered set. The _done flag rides a
+        # partition-only window over the already-ranked rows — same
+        # partitioning, no extra exchange or sort. Candidate (query, point)
+        # pairs are unique by construction (shells are disjoint setdiff1d
+        # disk differences; a point lives in one cell), so no dedup —
+        # pytest-pinned via many-rounds equality with brute force.
+        flagged = (g_pend.withColumn("_rn", F.row_number().over(wq))
+                   .join(q.select("query_id", "k"), "query_id")
+                   .withColumn("_done", F.max(
+                       F.when((F.col("_rn") == F.col("k"))
+                              & (F.col("distance")
+                                 < F.lit(float(ring) * cell_width)),
+                              F.lit(1)).otherwise(F.lit(0))).over(wp)))
+        res_r = (flagged
+                 .filter((F.col("_done") == 1) & (F.col("_rn") <= F.col("k")))
+                 .select("query_id", "image_id", "tile_id", "distance",
+                         F.col("_rn").alias("rank"))
+                 .localCheckpoint(eager=True))
+        results.append(res_r)
+        done = res_r.select("query_id").distinct()
         if use_broadcast:
             # sever pending's lineage: the query set is tiny by contract, so
             # a driver round-trip is cheaper than a growing anti-join chain
@@ -186,32 +207,19 @@ def knn_ring(points: DataFrame, queries: DataFrame,
                 break
         prev = ring
 
-    if gathered is None:
-        gathered = queries.sparkSession.createDataFrame(
-            [], "query_id string, image_id string, tile_id string, distance double")
     # queries still pending after max_ring (deep in empty regions) fall back
     # to brute force — the tail is tiny by construction (in EITHER tier:
     # max_ring covers a (2·max_ring+1)²-cell disk, so only queries in
     # near-empty regions remain), so the cross join touches
     # |pending| × |points|, not |queries| × |points|.
-    w = Window.partitionBy("query_id").orderBy("distance", "image_id", "tile_id")
-    # ONE exchange for dedup + rank (r6, guide §2.4): hash-partitioning by
-    # query_id satisfies BOTH the dropDuplicates' ClusteredDistribution
-    # (query_id, image_id, tile_id) and the rank window's (query_id) —
-    # without it the candidate set (3M rows, ~65 MB at sf1) was exchanged
-    # twice, once per key set.
-    # no dropDuplicates (r6): a candidate (query, point) pair can only be
-    # emitted once — shells are DISJOINT by construction (_ring_cells
-    # explodes the np.setdiff1d disk difference, round 1 the np.unique'd
-    # full disk) and a point lives in exactly one cell, so the per-round
-    # unions never repeat a pair. The dedup was a full extra aggregate
-    # over the gathered set (~3 M rows at sf1); uniqueness is pytest-pinned.
-    ringed = (gathered.join(pending.select("query_id"), "query_id", "left_anti")
-              .repartition(F.col("query_id"))
-              .withColumn("rank", F.row_number().over(w))
-              .join(q.select("query_id", "k"), "query_id")
-              .filter(F.col("rank") <= F.col("k"))
-              .select("query_id", "image_id", "tile_id", "distance", "rank"))
+    if results:
+        ringed = results[0]
+        for r in results[1:]:
+            ringed = ringed.unionByName(r)
+    else:
+        ringed = spark.createDataFrame(
+            [], "query_id string, image_id string, tile_id string, "
+                "distance double, rank int")
     if pending.isEmpty():
         return ringed
     # broadcast of the tail is a broadcast-tier privilege: in the shuffle
