@@ -263,17 +263,28 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_perm: int = 8,
     cand = (a.join(b, ["band", "key"]).where(F.col("a") < F.col("b"))
             .select("a", "b").distinct())
 
-    # exact-Jaccard verification on candidates only (hashed shingle keys)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col(id_col).alias("a"), "h")
-    sb = sh.select(F.col(id_col).alias("b"), "h")
-    inter = (cand.join(sa, "a").join(sb, ["b", "h"])
-             .groupBy("a", "b").agg(F.count("*").alias("inter")))
-    return (inter
-            .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
-            .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
-            .withColumn("jaccard", F.col("inter")
-                        / (F.col("sza") + F.col("szb") - F.col("inter")))
+    # exact-Jaccard verification on candidates only — per-doc hash ARRAYS
+    # instead of the exploded equi-join chain (r6): the old shape
+    # (cand ⋈ shingles ⋈ shingles → pair groupBy → two size joins) cost
+    # four sequential shuffle boundaries, each a ~0.5-1.3 s AQE
+    # stage-materialization job at bench scale. The array table builds
+    # WITHOUT an exchange (sh is id-partitioned), and since sh is distinct
+    # (id, h), `size(array_intersect(ha, hb))` IS the exact intersection
+    # count and `size(hs)` the exact set size — bit-identical jaccard.
+    # Candidate pairs are LSH-collision-sized (≪ corpus), so carrying two
+    # ~set-size arrays per pair through the two joins shuffles about the
+    # same bytes the exploded chain did, across fewer boundaries.
+    arrs = sh.groupBy(id_col).agg(F.collect_list("h").alias("_hs"))
+    av = arrs.select(F.col(id_col).alias("a"), F.col("_hs").alias("_ha"),
+                     F.size("_hs").alias("sza"))
+    bv = arrs.select(F.col(id_col).alias("b"), F.col("_hs").alias("_hb"),
+                     F.size("_hs").alias("szb"))
+    return (cand.join(av, "a").join(bv, "b")
+            # hoisted column: the intersect is multi-referenced (numerator
+            # + denominator) and survives CollapseProject as ONE evaluation
+            .withColumn("_inter", F.size(F.array_intersect("_ha", "_hb")))
+            .withColumn("jaccard", F.col("_inter")
+                        / (F.col("sza") + F.col("szb") - F.col("_inter")))
             .where(F.col("jaccard") >= threshold)
             .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
                     F.round("jaccard", 6).alias("jaccard")))
@@ -419,19 +430,19 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
                 .where(F.col("a") < F.col("b")).select("a", "b"))
             .distinct())
 
-    # exact-Jaccard verify on candidates only (same as the self-join tier)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col(id_col).alias("a"), "h")
-    sb = sh.select(F.col(id_col).alias("b"), "h")
-    inter = (cand.join(sa, "a").join(sb, ["b", "h"])
-             .groupBy("a", "b").agg(F.count("*").alias("inter")))
-    near = (inter
-            .join(sizes.select(F.col(id_col).alias("a"),
-                               F.col("sz").alias("sza")), "a")
-            .join(sizes.select(F.col(id_col).alias("b"),
-                               F.col("sz").alias("szb")), "b")
-            .where(F.col("inter")
-                   / (F.col("sza") + F.col("szb") - F.col("inter"))
+    # exact-Jaccard verify on candidates only — per-doc hash arrays +
+    # array_intersect, exactly like the self-join tier (r6): sh is distinct
+    # (id, h) and id-partitioned, so the array table builds exchange-free
+    # and size(array_intersect) is the exact intersection count.
+    arrs = sh.groupBy(id_col).agg(F.collect_list("h").alias("_hs"))
+    av = arrs.select(F.col(id_col).alias("a"), F.col("_hs").alias("_ha"),
+                     F.size("_hs").alias("sza"))
+    bv = arrs.select(F.col(id_col).alias("b"), F.col("_hs").alias("_hb"),
+                     F.size("_hs").alias("szb"))
+    near = (cand.join(av, "a").join(bv, "b")
+            .withColumn("_inter", F.size(F.array_intersect("_ha", "_hb")))
+            .where(F.col("_inter")
+                   / (F.col("sza") + F.col("szb") - F.col("_inter"))
                    >= threshold))
     near_sided = near.join(sides.select(F.col(id_col).alias("a"), "_new"), "a")
     near_cor = (near_sided.where("NOT _new")
